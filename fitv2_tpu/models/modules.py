@@ -1,0 +1,357 @@
+"""FiT transformer building blocks (flax.linen), TPU-native.
+
+Reimplements the reference module zoo (/root/reference/fit/model/modules.py:19-296)
+with JAX idioms:
+  - padded variable-length sequences are handled with a key-side padding mask +
+    post-attention query zeroing, which is numerically identical (after the
+    reference's own `x * mask` at modules.py:204) to the pairwise
+    `(mask_i == mask_j)` boolean mask it feeds to SDPA (modules.py:176-178)
+    — padded query rows are zeroed before the output projection either way.
+  - norms are computed in float32 regardless of the compute dtype.
+  - RoPE tables are computed outside the block stack and passed in.
+
+Parameter layout is chosen so the PyTorch checkpoint importer is a pure
+transpose + rename (see fitv2_tpu/ckpt/torch_import.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fitv2_tpu.models.rope import apply_rope
+from fitv2_tpu.ops.attention import masked_attention
+
+Array = jax.Array
+Dtype = Any
+
+# PyTorch nn.Linear default init: kaiming_uniform(a=sqrt(5)) == uniform(+-1/sqrt(fan_in));
+# the reference overrides most weights with xavier_uniform + zero bias
+# (fit_model.py:117-157), which we mirror here.
+xavier = nn.initializers.xavier_uniform()
+zeros = nn.initializers.zeros_init()
+normal02 = nn.initializers.normal(stddev=0.02)
+
+
+def modulate(x: Array, shift: Array, scale: Array) -> Array:
+    """AdaLN modulation: x * (1 + scale) + shift (reference fit/model/utils.py:6)."""
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def _norm_no_affine(x: Array, eps: float = 1e-6) -> Array:
+    """LayerNorm without affine params, computed in fp32 (torch LN parity)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class LayerNorm(nn.Module):
+    """create_norm parity (reference fit/model/norms.py:19-50).
+
+    norm_type: 'layernorm' (no affine), 'w_layernorm' (weight only),
+    'rmsnorm'/'w_rmsnorm' (weight), 'none'/None (identity).
+    """
+    norm_type: Optional[str] = 'layernorm'
+    eps: float = 1e-6
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        nt = (self.norm_type or 'none').lower()
+        if nt in ('none', ''):
+            return x
+        if nt in ('layernorm', 'w_layernorm'):
+            y = _norm_no_affine(x, self.eps)
+            if nt == 'w_layernorm':
+                w = self.param('weight', nn.initializers.ones_init(),
+                               (x.shape[-1],), self.param_dtype)
+                y = y * w.astype(y.dtype)
+            return y
+        if nt in ('rmsnorm', 'w_rmsnorm'):
+            x32 = x.astype(jnp.float32)
+            y = (x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True)
+                                     + self.eps)).astype(x.dtype)
+            w = self.param('weight', nn.initializers.ones_init(),
+                           (x.shape[-1],), self.param_dtype)
+            return y * w.astype(y.dtype)
+        raise NotImplementedError(f'Unknown norm_type: {self.norm_type!r}')
+
+
+class Dense(nn.Dense):
+    """nn.Dense defaulting to xavier-uniform kernel / zero bias (reference init)."""
+    kernel_init: Callable = xavier
+    bias_init: Callable = zeros
+
+
+class PatchEmbedder(nn.Module):
+    """Linear projection of p**2*C latent patches (reference modules.py:19-37)."""
+    embed_dim: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return Dense(self.embed_dim, use_bias=self.use_bias, dtype=self.dtype,
+                     name='proj')(x)
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal timestep embedding -> 2-layer SiLU MLP (modules.py:39-76).
+
+    NOTE parity detail: the sinusoid concatenates [cos, sin] (cos first),
+    unlike the more common [sin, cos] (modules.py:68).
+    """
+    hidden_size: int
+    frequency_embedding_size: int = 256
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
+        half = dim // 2
+        freqs = jnp.exp(-math.log(max_period) *
+                        jnp.arange(half, dtype=jnp.float32) / half)
+        args = t.astype(jnp.float32)[:, None] * freqs[None]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        if dim % 2:
+            emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+        return emb
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        x = self.timestep_embedding(t, self.frequency_embedding_size)
+        x = Dense(self.hidden_size, dtype=self.dtype, kernel_init=normal02,
+                  name='mlp_0')(x.astype(self.dtype))
+        x = nn.silu(x)
+        x = Dense(self.hidden_size, dtype=self.dtype, kernel_init=normal02,
+                  name='mlp_2')(x)
+        return x
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with CFG null class + token drop (modules.py:79-106)."""
+    num_classes: int
+    hidden_size: int
+    dropout_prob: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, labels: Array, train: bool = False,
+                 force_drop_ids: Optional[Array] = None) -> Array:
+        use_cfg_embedding = self.dropout_prob > 0
+        table = self.param('embedding_table', normal02,
+                           (self.num_classes + int(use_cfg_embedding),
+                            self.hidden_size), jnp.float32)
+        if force_drop_ids is not None:
+            labels = jnp.where(force_drop_ids == 1, self.num_classes, labels)
+        elif train and use_cfg_embedding:
+            rng = self.make_rng('label_dropout')
+            drop = jax.random.uniform(rng, labels.shape) < self.dropout_prob
+            labels = jnp.where(drop, self.num_classes, labels)
+        return table[labels].astype(self.dtype)
+
+
+class SwiGLU(nn.Module):
+    """timm-style SwiGLU MLP: fc2(silu(fc1_g(x)) * fc1_x(x)).
+
+    Matches timm.layers.mlp.SwiGLU as used at reference modules.py:247-251;
+    param names fc1_g/fc1_x/fc2 mirror the checkpoint keys.
+    """
+    hidden_features: int
+    out_features: Optional[int] = None
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out = self.out_features or x.shape[-1]
+        g = Dense(self.hidden_features, use_bias=self.use_bias, dtype=self.dtype,
+                  name='fc1_g')(x)
+        v = Dense(self.hidden_features, use_bias=self.use_bias, dtype=self.dtype,
+                  name='fc1_x')(x)
+        return Dense(out, use_bias=self.use_bias, dtype=self.dtype,
+                     name='fc2')(nn.silu(g) * v)
+
+
+class Mlp(nn.Module):
+    """GELU(tanh) MLP (FiTv1 path, reference modules.py:253)."""
+    hidden_features: int
+    out_features: Optional[int] = None
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out = self.out_features or x.shape[-1]
+        x = Dense(self.hidden_features, use_bias=self.use_bias, dtype=self.dtype,
+                  name='fc1')(x)
+        x = nn.gelu(x, approximate=True)
+        return Dense(out, use_bias=self.use_bias, dtype=self.dtype, name='fc2')(x)
+
+
+class Attention(nn.Module):
+    """Multi-head attention over padded token sequences with 2D RoPE.
+
+    Reference: modules.py:120-207. qkv is one fused projection; optional
+    per-head-dim q/k LayerNorm; RoPE rotation of q/k (optionally v); mask-aware
+    softmax attention; outputs of padded queries zeroed before the out proj.
+    """
+    num_heads: int
+    qkv_bias: bool = True
+    q_norm: Optional[str] = None
+    k_norm: Optional[str] = None
+    qk_norm_weight: bool = False
+    use_rope: bool = True
+    add_rel_pe_to_v: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = 'auto'  # 'auto' | 'xla' | 'pallas'
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 freqs_cos: Optional[Array] = None,
+                 freqs_sin: Optional[Array] = None) -> Array:
+        B, N, C = x.shape
+        H = self.num_heads
+        Dh = C // H
+        qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name='qkv')(x)
+        qkv = qkv.reshape(B, N, 3, H, Dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
+
+        def _qk_norm_type(t):
+            if t == 'layernorm' and self.qk_norm_weight:
+                return 'w_layernorm'
+            return t
+        q = LayerNorm(_qk_norm_type(self.q_norm), name='q_norm')(q)
+        k = LayerNorm(_qk_norm_type(self.k_norm), name='k_norm')(k)
+
+        if self.use_rope and freqs_cos is not None:
+            cos = freqs_cos[:, :, None, :].astype(q.dtype)  # (B, N, 1, Dh)
+            sin = freqs_sin[:, :, None, :].astype(q.dtype)
+            if self.add_rel_pe_to_v:
+                v = apply_rope(v, cos, sin)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        out = masked_attention(q, k, v, mask, impl=self.attn_impl)  # (B, N, H, Dh)
+        out = out.reshape(B, N, C)
+        if mask is not None:
+            out = out * mask.astype(out.dtype)[..., None]  # zero padded queries
+        return Dense(C, dtype=self.dtype, name='proj')(out)
+
+
+class AdaLNModulation(nn.Module):
+    """SiLU -> Linear(s) producing n_chunks*D modulation params, zero-init.
+
+    adaln_type 'normal': one Linear; 'lora': Linear(D, r) -> Linear(r, nD);
+    'swiglu': a SwiGLU head (reference modules.py:254-268).
+    """
+    hidden_size: int
+    n_chunks: int
+    adaln_type: str = 'normal'
+    lora_dim: Optional[int] = None
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c: Array) -> Array:
+        n_out = self.n_chunks * self.hidden_size
+        if self.adaln_type in ('normal', 'lora'):
+            h = nn.silu(c)
+            if self.adaln_type == 'lora':
+                h = Dense(self.lora_dim, use_bias=self.use_bias, dtype=self.dtype,
+                          name='fc1')(h)
+            # final layer zero-init (reference fit_model.py:139-148)
+            return Dense(n_out, use_bias=self.use_bias, dtype=self.dtype,
+                         kernel_init=zeros, name='fc_out')(h)
+        if self.adaln_type == 'swiglu':
+            hidden = (self.hidden_size // 4) * 3 if self.n_chunks == 6 \
+                else self.hidden_size // 2
+            g = Dense(hidden, use_bias=self.use_bias, dtype=self.dtype,
+                      name='fc1_g')(c)
+            v = Dense(hidden, use_bias=self.use_bias, dtype=self.dtype,
+                      name='fc1_x')(c)
+            return Dense(n_out, use_bias=self.use_bias, dtype=self.dtype,
+                         kernel_init=zeros, name='fc2')(nn.silu(g) * v)
+        raise NotImplementedError(self.adaln_type)
+
+
+class FiTBlock(nn.Module):
+    """AdaLN-zero transformer block (reference modules.py:213-274)."""
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    swiglu: bool = True
+    swiglu_large: bool = False
+    norm_layer: str = 'layernorm'
+    q_norm: Optional[str] = None
+    k_norm: Optional[str] = None
+    qk_norm_weight: bool = False
+    qkv_bias: bool = True
+    ffn_bias: bool = True
+    adaln_bias: bool = True
+    adaln_type: str = 'normal'
+    adaln_lora_dim: Optional[int] = None
+    use_rope: bool = True
+    add_rel_pe_to_v: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = 'auto'
+
+    @nn.compact
+    def __call__(self, x: Array, c: Array, mask: Optional[Array],
+                 freqs_cos: Optional[Array], freqs_sin: Optional[Array],
+                 global_adaln: Array | float = 0.0) -> Array:
+        D = self.hidden_size
+        mod = AdaLNModulation(
+            D, 6, adaln_type=self.adaln_type, lora_dim=self.adaln_lora_dim,
+            use_bias=self.adaln_bias, dtype=self.dtype,
+            name='adaLN_modulation')(c) + global_adaln
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
+
+        h = modulate(LayerNorm(self.norm_layer, name='norm1')(x), shift_msa, scale_msa)
+        attn_out = Attention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias, q_norm=self.q_norm,
+            k_norm=self.k_norm, qk_norm_weight=self.qk_norm_weight,
+            use_rope=self.use_rope, add_rel_pe_to_v=self.add_rel_pe_to_v,
+            dtype=self.dtype, attn_impl=self.attn_impl,
+            name='attn')(h, mask, freqs_cos, freqs_sin)
+        x = x + gate_msa[:, None, :] * attn_out
+
+        h = modulate(LayerNorm(self.norm_layer, name='norm2')(x), shift_mlp, scale_mlp)
+        mlp_hidden = int(D * self.mlp_ratio)
+        if self.swiglu:
+            hidden = mlp_hidden if self.swiglu_large else (mlp_hidden * 2) // 3
+            mlp_out = SwiGLU(hidden, use_bias=self.ffn_bias, dtype=self.dtype,
+                             name='mlp')(h)
+        else:
+            mlp_out = Mlp(mlp_hidden, use_bias=self.ffn_bias, dtype=self.dtype,
+                          name='mlp')(h)
+        return x + gate_mlp[:, None, :] * mlp_out
+
+
+class FinalLayer(nn.Module):
+    """Final modulated projection to patch outputs (reference modules.py:276-296)."""
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+    norm_layer: str = 'layernorm'
+    adaln_bias: bool = True
+    adaln_type: str = 'normal'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, c: Array) -> Array:
+        adaln_type = 'swiglu' if self.adaln_type == 'swiglu' else 'normal'
+        mod = AdaLNModulation(self.hidden_size, 2, adaln_type=adaln_type,
+                              use_bias=self.adaln_bias, dtype=self.dtype,
+                              name='adaLN_modulation')(c)
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = modulate(LayerNorm(self.norm_layer, name='norm_final')(x), shift, scale)
+        # zero-init output projection (reference fit_model.py:156-157)
+        return Dense(self.patch_size * self.patch_size * self.out_channels,
+                     dtype=self.dtype, kernel_init=zeros, name='linear')(x)

@@ -1,0 +1,309 @@
+"""2D axial rotary position embeddings with resolution-extrapolation modes.
+
+TPU-native reimplementation of the reference RoPE stack
+(/root/reference/fit/model/rope.py:24-373): axial 2D RoPE where each attention
+head's dim is split in half for the H and W axes, with frequency-interpolation
+modes for sampling beyond the training grid:
+
+  - ``normal``        : vanilla RoPE frequencies
+  - ``linear``        : position interpolation (frequencies divided by scale)
+  - ``ntk-aware``     : NTK base change (rope.py:40-42, 183-187)
+  - ``ntk-aware-pro1``: ntk-aware + proportional attention scale on seq len
+  - ``ntk-aware-pro2``: ntk-aware + proportional scale on token count
+  - ``ntk-by-parts``  : per-band blend of linear/NTK/extrapolation (rope.py:188-214)
+  - ``yarn``          : YaRN blend + mscale magnitude correction (rope.py:216-228)
+
+Design differences from the reference (idiomatic JAX):
+  - No nn.Module / buffers. Static (per-model) tables are built once with numpy
+    at model-construction time and folded into cos/sin lookup tables including
+    the post-scale (mscale / proportion), so the per-step work is one gather.
+  - The online per-sample path (``online_rope``, rope.py:234-274) is a pure
+    jit-safe jnp function of the traced ``size`` tensor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# NTK / YaRN helper math (reference rope.py:24-53)
+# ---------------------------------------------------------------------------
+
+def find_correction_factor(num_rotations: float, dim: int, base: float,
+                           max_position_embeddings: int) -> float:
+    """Inverse frequency formula: band index that completes `num_rotations`."""
+    return (dim * math.log(max_position_embeddings / (num_rotations * 2 * math.pi))) / (
+        2 * math.log(base))
+
+
+def find_correction_range(low_rot: float, high_rot: float, dim: int, base: float,
+                          max_position_embeddings: int) -> Tuple[int, int]:
+    low = math.floor(find_correction_factor(low_rot, dim, base, max_position_embeddings))
+    high = math.ceil(find_correction_factor(high_rot, dim, base, max_position_embeddings))
+    return max(low, 0), min(high, dim - 1)
+
+
+def _linear_ramp(lo: float, hi: float, n: int):
+    if lo == hi:
+        hi += 0.001  # prevent singularity (reference rope.py:33-35)
+    ramp = (np.arange(n, dtype=np.float32) - lo) / (hi - lo)
+    return np.clip(ramp, 0.0, 1.0)
+
+
+def _find_newbase_ntk(dim: int, base, scale):
+    # base-change formula (reference rope.py:40-42)
+    return base * scale ** (dim / (dim - 2))
+
+
+def get_mscale(scale):
+    """YaRN magnitude scale; identity for scale<=1 (reference rope.py:44-48)."""
+    return jnp.where(scale <= 1.0, 1.0, 0.1 * jnp.log(scale) + 1.0)
+
+
+def get_proportion(L_test, L_train):
+    """Proportional attention scaling (reference rope.py:50-53)."""
+    L_test = L_test * 2
+    ratio = L_test / L_train
+    return jnp.where(ratio <= 1.0, 1.0,
+                     jnp.sqrt(jnp.log(L_test.astype(jnp.float32)) /
+                              jnp.log(jnp.asarray(L_train, jnp.float32))))
+
+
+# ---------------------------------------------------------------------------
+# Frequency ladders (reference rope.py:173-231)
+# ---------------------------------------------------------------------------
+
+def get_1d_rope_freqs(mode: str, theta: float, dim: int, max_pe_len,
+                      ori_max_pe_len: int):
+    """Per-axis inverse frequencies of shape (..., dim//2).
+
+    ``max_pe_len`` may be a python scalar (static table build) or a traced
+    jnp array of shape (B,) for the online per-sample path. Everything here is
+    jnp so the same code serves both; numpy inputs produce concrete outputs.
+    """
+    mode = mode.lower()
+    max_pe_len = jnp.asarray(max_pe_len, jnp.float32)
+    scale = jnp.maximum(max_pe_len / ori_max_pe_len, 1.0)  # dynamic scale
+    bands = jnp.arange(0, dim, 2, dtype=jnp.float32) / dim  # (dim//2,)
+
+    base_freqs = 1.0 / (theta ** bands)
+
+    if mode == 'normal':
+        freqs = jnp.broadcast_to(base_freqs, scale.shape + bands.shape)
+    elif mode == 'linear':
+        freqs = 1.0 / (scale[..., None] * theta ** bands)
+    elif mode in ('ntk-aware', 'ntk-aware-pro1', 'ntk-aware-pro2'):
+        newbase = _find_newbase_ntk(dim, theta, scale)
+        freqs = newbase[..., None] ** (-bands)
+    elif mode == 'ntk-by-parts':
+        # constants from the reference (rope.py:190-196)
+        beta_0, beta_1, gamma_0, gamma_1 = 1.25, 0.75, 16, 2
+        ntk_factor, extrapolation_factor = 1, 1
+        freqs_linear = 1.0 / (scale[..., None] * theta ** bands)
+        newbase = _find_newbase_ntk(dim, theta, scale)
+        freqs_ntk = newbase[..., None] ** (-bands)
+        low, high = find_correction_range(beta_0, beta_1, dim, theta, ori_max_pe_len)
+        m = (1 - _linear_ramp(low, high, dim // 2)) * ntk_factor
+        freqs = freqs_linear * (1 - m) + freqs_ntk * m
+        low, high = find_correction_range(gamma_0, gamma_1, dim, theta, ori_max_pe_len)
+        m = (1 - _linear_ramp(low, high, dim // 2)) * extrapolation_factor
+        freqs = freqs * (1 - m) + base_freqs * m
+    elif mode == 'yarn':
+        beta_fast, beta_slow, extrapolation_factor = 32, 1, 1
+        freqs_interp = 1.0 / (scale[..., None] * theta ** bands)
+        low, high = find_correction_range(beta_fast, beta_slow, dim, theta, ori_max_pe_len)
+        m = (1 - _linear_ramp(low, high, dim // 2)) * extrapolation_factor
+        freqs = freqs_interp * (1 - m) + base_freqs * m
+    else:
+        raise ValueError(
+            f'Unknown rope mode {mode!r}; supported: normal, linear, ntk-aware[-pro1/2], '
+            'ntk-by-parts, yarn')
+    return freqs
+
+
+def _post_scale(mode: str, max_pe_len_h, max_pe_len_w, ori_max_pe_len):
+    """cos/sin magnitude factor applied after rotation (mscale / proportion)."""
+    mode = mode.lower()
+    if mode == 'yarn':
+        scale = jnp.maximum(
+            jnp.maximum(jnp.asarray(max_pe_len_h, jnp.float32),
+                        jnp.asarray(max_pe_len_w, jnp.float32)) / ori_max_pe_len, 1.0)
+        return get_mscale(scale)
+    if mode == 'ntk-aware-pro1':
+        m = jnp.maximum(jnp.asarray(max_pe_len_h, jnp.float32),
+                        jnp.asarray(max_pe_len_w, jnp.float32))
+        return get_proportion(m, ori_max_pe_len)
+    if mode == 'ntk-aware-pro2':
+        prod = jnp.asarray(max_pe_len_h, jnp.float32) * jnp.asarray(max_pe_len_w, jnp.float32)
+        return get_proportion(prod, ori_max_pe_len ** 2)
+    return jnp.asarray(1.0, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Rotation application
+# ---------------------------------------------------------------------------
+
+def rotate_half(x: Array) -> Array:
+    """Interleaved-pair rotation: (x0, x1, x2, x3, ...) -> (-x1, x0, -x3, x2, ...).
+
+    Matches reference rope.py:107-111 (pairs are adjacent, not split-half).
+    """
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """x * cos + rotate_half(x) * sin, broadcasting cos/sin over heads."""
+    return x * cos + rotate_half(x) * sin
+
+
+def _repeat2(freqs):
+    """[f0, f1, ...] -> [f0, f0, f1, f1, ...] along the last axis."""
+    return jnp.repeat(freqs, 2, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# RopeCache: static per-model tables (reference rope.py:143-170, 308-333)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RopeConfig:
+    head_dim: int
+    mode: str = 'normal'
+    theta: float = 10000.0
+    max_cached_len: int = 256
+    max_pe_len_h: Optional[int] = None
+    max_pe_len_w: Optional[int] = None
+    decouple: bool = False
+    ori_max_pe_len: Optional[int] = None
+    online: bool = False
+
+    def __post_init__(self):
+        assert (self.head_dim // 2) % 2 == 0, 'per-axis rope dim must be even'
+
+    @property
+    def axis_dim(self) -> int:
+        return self.head_dim // 2
+
+
+def build_rope_cache(cfg: RopeConfig):
+    """Precompute cos/sin lookup tables (max_cached_len, axis_dim) per axis.
+
+    The post-scale factor is folded into the tables so a forward pass is just
+    two gathers and a concat. Returns dict of jnp arrays (a pytree, so it can
+    be passed through jit boundaries / shardings freely).
+    """
+    dim = cfg.axis_dim
+    mode = cfg.mode.lower()
+    if mode == 'normal':
+        freqs_h = get_1d_rope_freqs('normal', cfg.theta, dim, 1, 1)
+        freqs_w = freqs_h
+        scale = jnp.asarray(1.0, jnp.float32)
+    else:
+        assert cfg.ori_max_pe_len is not None, 'interpolated rope needs ori_max_pe_len'
+        if cfg.decouple:
+            freqs_h = get_1d_rope_freqs(mode, cfg.theta, dim, cfg.max_pe_len_h,
+                                        cfg.ori_max_pe_len)
+            freqs_w = get_1d_rope_freqs(mode, cfg.theta, dim, cfg.max_pe_len_w,
+                                        cfg.ori_max_pe_len)
+        else:
+            max_pe = max(cfg.max_pe_len_h, cfg.max_pe_len_w)
+            freqs_h = get_1d_rope_freqs(mode, cfg.theta, dim, max_pe, cfg.ori_max_pe_len)
+            freqs_w = freqs_h
+        scale = _post_scale(mode, cfg.max_pe_len_h, cfg.max_pe_len_w, cfg.ori_max_pe_len)
+
+    freqs_h = jnp.reshape(freqs_h, (-1,))
+    freqs_w = jnp.reshape(freqs_w, (-1,))
+    pos = jnp.arange(cfg.max_cached_len, dtype=jnp.float32)
+    ang_h = _repeat2(pos[:, None] * freqs_h[None, :])  # (L, dim)
+    ang_w = _repeat2(pos[:, None] * freqs_w[None, :])
+    return {
+        'cos_h': jnp.cos(ang_h) * scale,
+        'sin_h': jnp.sin(ang_h) * scale,
+        'cos_w': jnp.cos(ang_w) * scale,
+        'sin_w': jnp.sin(ang_w) * scale,
+    }
+
+
+def rope_from_grid(cache, grid: Array) -> Tuple[Array, Array]:
+    """Gather cached cos/sin for a token grid.
+
+    grid: (B, 2, N) int32 — grid[:, 0] is the W index, grid[:, 1] the H index
+    (reference rope.py:308-318). Returns cos, sin each (B, N, head_dim) with
+    the H half first (cat order reference rope.py:318).
+    """
+    gw = grid[:, 0]
+    gh = grid[:, 1]
+    cos = jnp.concatenate([cache['cos_h'][gh], cache['cos_w'][gw]], axis=-1)
+    sin = jnp.concatenate([cache['sin_h'][gh], cache['sin_w'][gw]], axis=-1)
+    return cos, sin
+
+
+def online_rope_from_grid(cfg: RopeConfig, grid: Array, size: Array
+                          ) -> Tuple[Array, Array]:
+    """Per-sample frequency recomputation (reference rope.py:234-274).
+
+    grid: (B, 2, N) int; size: (B, 1, 2) or (B, 2) with (h, w) per sample.
+    Fully jit-safe: size is traced; the correction-band constants only depend
+    on static config.
+    """
+    dim = cfg.axis_dim
+    size = size.reshape(size.shape[0], -1)[:, :2].astype(jnp.float32)  # (B, 2)
+    size_h, size_w = size[:, 0], size[:, 1]
+    if cfg.decouple:
+        freqs_h = get_1d_rope_freqs(cfg.mode, cfg.theta, dim, size_h, cfg.ori_max_pe_len)
+        freqs_w = get_1d_rope_freqs(cfg.mode, cfg.theta, dim, size_w, cfg.ori_max_pe_len)
+    else:
+        size_max = jnp.maximum(size_h, size_w)
+        freqs_h = get_1d_rope_freqs(cfg.mode, cfg.theta, dim, size_max, cfg.ori_max_pe_len)
+        freqs_w = freqs_h
+
+    ang_w = _repeat2(grid[:, 0].astype(jnp.float32)[..., None] * freqs_w[:, None, :])
+    ang_h = _repeat2(grid[:, 1].astype(jnp.float32)[..., None] * freqs_h[:, None, :])
+    ang = jnp.concatenate([ang_h, ang_w], axis=-1)  # (B, N, head_dim)
+
+    scale = _post_scale(cfg.mode, size_h, size_w, cfg.ori_max_pe_len)
+    scale = jnp.reshape(scale * jnp.ones_like(size_h), (-1, 1, 1))
+    return jnp.cos(ang) * scale, jnp.sin(ang) * scale
+
+
+# ---------------------------------------------------------------------------
+# Sincos absolute PE helpers (reference rope.py:55-101), used by REPA/encoders
+# ---------------------------------------------------------------------------
+
+def get_1d_sincos_pos_embed_from_grid(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum('m,d->md', pos.reshape(-1), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_2d_sincos_pos_embed_from_grid(embed_dim: int, grid: np.ndarray) -> np.ndarray:
+    assert embed_dim % 2 == 0
+    emb_h = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[0])
+    emb_w = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1)
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False,
+                            extra_tokens: int = 0) -> np.ndarray:
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0)  # w first
+    grid = grid.reshape([2, 1, grid_size, grid_size])
+    pos_embed = get_2d_sincos_pos_embed_from_grid(embed_dim, grid)
+    if cls_token and extra_tokens > 0:
+        pos_embed = np.concatenate([np.zeros([extra_tokens, embed_dim]), pos_embed], axis=0)
+    return pos_embed

@@ -1,0 +1,66 @@
+"""Mask-aware attention for padded variable-length token sequences.
+
+The reference feeds SDPA a pairwise boolean mask `(mask_i == mask_j)` built
+from the 0/1 padding mask and then zeroes padded query outputs
+(/root/reference/fit/model/modules.py:176-204). After that zeroing, the result
+is identical to key-side padding masking (valid queries never attend padded
+keys; padded query rows are discarded), which is what we implement — it is
+cheaper (no (B, N, N) bool materialization feeding the kernel) and maps onto a
+flash-attention kernel with a key mask.
+
+Two implementations:
+  - 'xla'    : jnp einsum + softmax; XLA fuses this well for short sequences
+               (N in {256, 1024}) and arbitrary head_dim (FiTv2 uses Dh=72).
+  - 'pallas' : a flash-attention TPU kernel (fitv2_tpu/ops/flash_attention.py)
+               with online softmax; preferable for long sequences.
+  - 'auto'   : picks per-shape (benchmark-informed: XLA wins at N<=1024 with
+               Dh=72 because flash tiling pads 72 -> 128 lanes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_NEG_INF = float('-inf')
+
+
+def _xla_masked_attention(q: Array, k: Array, v: Array,
+                          mask: Optional[Array]) -> Array:
+    """q, k, v: (B, N, H, Dh); mask: (B, N) with 1=valid, 0=pad."""
+    dh = q.shape[-1]
+    scale = dh ** -0.5
+    # (B, H, Nq, Nk) logits in fp32 for softmax stability (SDPA parity).
+    logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        key_valid = (mask > 0)[:, None, None, :]  # (B, 1, 1, Nk)
+        logits = jnp.where(key_valid, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum('bhqk,bkhd->bqhd', probs, v)
+
+
+def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
+                     impl: str = 'auto') -> Array:
+    """Scaled dot-product attention with key-side padding mask.
+
+    Args:
+      q, k, v: (B, N, H, Dh)
+      mask: (B, N) float/bool, nonzero = valid token. The caller is responsible
+        for zeroing padded query outputs (done in modules.Attention to mirror
+        reference modules.py:204).
+      impl: 'auto' | 'xla' | 'pallas'
+    Returns: (B, N, H, Dh)
+    """
+    n = q.shape[1]
+    if impl == 'pallas' or (impl == 'auto' and n >= 2048):
+        try:
+            from fitv2_tpu.ops.flash_attention import flash_masked_attention
+            return flash_masked_attention(q, k, v, mask)
+        except Exception:
+            pass  # fall back to XLA (e.g. CPU tests, unsupported shapes)
+    return _xla_masked_attention(q, k, v, mask)
