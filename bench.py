@@ -1,0 +1,108 @@
+"""Benchmark: FiTv2-XL/2 256x256 250-step ODE CFG sampling, images/sec/chip.
+
+The north-star workload (BASELINE.json): the reference samples FiTv2-XL at
+256x256 with a 250-step Euler flow ODE and CFG double-batching
+(/root/reference/sample_fitv2_ddp.py:248-314). Here the whole denoise loop is
+one jitted lax.scan on a single TPU chip, model in bfloat16.
+
+vs_baseline: the reference publishes quality/GFLOPs but no throughput
+(BASELINE.md). We normalize against an estimated reference single-A100
+throughput for the same workload: 147 GFLOPs/NFE (README.md:54) x 2 (CFG)
+x 250 steps = 73.5 TFLOPs/image; A100 bf16 312 TFLOPs peak at a generous
+40% MFU -> ~1.70 images/sec. vs_baseline = measured / 1.70.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8          # images per measured scan
+STEPS = 250        # ODE steps (NFE)
+CFG_SCALE = 1.5
+BASELINE_IMG_PER_SEC = 1.70  # estimated reference A100 (see module docstring)
+
+
+def build_model():
+    from fitv2_tpu.models.fit import FiT
+    # FiTv2-XL/2 (reference configs/fitv2/config_fitv2_xl.yaml:25-47):
+    # hidden 1152, depth 36, heads 16, SwiGLU, QK-LN, AdaLN-LoRA, velocity.
+    return FiT(
+        context_size=256, patch_size=2, in_channels=4, hidden_size=1152,
+        depth=36, num_heads=16, class_dropout_prob=0.1, num_classes=1000,
+        learn_sigma=False, use_sit=True, use_swiglu=True,
+        q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
+        adaln_lora_dim=288, custom_freqs='normal', max_cached_len=64,
+        dtype=jnp.bfloat16)
+
+
+def main():
+    model = build_model()
+    n_h = n_w = 16  # 256px / 8 (VAE) / 2 (patch)
+    n_ctx = model.context_size
+    b2 = 2 * BATCH  # CFG double batch
+
+    gw, gh = np.meshgrid(np.arange(n_w), np.arange(n_h))
+    grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0)
+    grid = jnp.asarray(np.broadcast_to(grid, (b2, 2, n_ctx)), jnp.int32)
+    mask = jnp.ones((b2, n_ctx), jnp.float32)
+    size = jnp.asarray(np.broadcast_to(np.array([[n_h, n_w]]), (b2, 1, 2)),
+                       jnp.int32)
+    y = jnp.concatenate([
+        (jnp.arange(BATCH) % 1000).astype(jnp.int32),
+        jnp.full((BATCH,), 1000, jnp.int32)])
+
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((1, n_ctx, 16), jnp.float32), jnp.zeros((1,)),
+        y[:1], grid[:1], mask[:1], size[:1])['params']
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params)
+
+    sigmas = jnp.linspace(0.0, 1.0, STEPS + 1)
+
+    @jax.jit
+    def sample(params, z):
+        def step(z, pair):
+            t_cur, t_next = pair[0], pair[1]
+            z2 = jnp.concatenate([z, z], axis=0)
+            t2 = jnp.full((b2,), t_cur, jnp.float32)
+            out = model.apply({'params': params}, z2, t2, y, grid, mask,
+                              size)
+            cond, uncond = jnp.split(out.astype(jnp.float32), 2, axis=0)
+            v = uncond + CFG_SCALE * (cond - uncond)
+            return z + (t_next - t_cur) * v, None
+
+        pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
+        z, _ = jax.lax.scan(step, z, pairs)
+        return z
+
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, n_ctx, 16),
+                           jnp.float32)
+
+    # compile + warmup
+    sample(params, z0).block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(params, z0)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    img_per_sec = BATCH / dt
+    print(json.dumps({
+        'metric': 'FiTv2-XL 256x256 250-step ODE CFG sampling',
+        'value': round(img_per_sec, 4),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,13 @@
+"""Device mesh, sharding rules, and multihost helpers."""
+
+from fitv2_tpu.parallel.mesh import (
+    MeshConfig, batch_sharding, build_mesh, fit_param_shardings,
+    is_main_process, print0, process_allgather, replicated, shard_params,
+    sync_global_devices,
+)
+
+__all__ = [
+    'MeshConfig', 'batch_sharding', 'build_mesh', 'fit_param_shardings',
+    'is_main_process', 'print0', 'process_allgather', 'replicated',
+    'shard_params', 'sync_global_devices',
+]

@@ -1,0 +1,167 @@
+"""Device-mesh construction and named sharding helpers.
+
+TPU-native replacement for the reference's NCCL/torchrun distributed layer
+(/root/reference/fit — DDP: sample_fitv2_ddp.py:51; FSDP: train_fitv2.py:
+195-239; collectives inventory SURVEY.md §2.9). One ``jax.sharding.Mesh``
+spans all chips; parallelism strategies are expressed as axis names:
+
+  - ``data``   : data parallel (batch sharding) — DDP equivalent
+  - ``fsdp``   : parameter sharding along the same replica group — the
+                 FULL_SHARD / ZeRO-3 equivalent; XLA inserts all-gather /
+                 reduce-scatter over ICI at each layer boundary
+  - ``tensor`` : tensor parallel (attention heads / mlp hidden) — beyond
+                 reference parity, the idiomatic TPU scale-out for 3B+
+
+Multi-host: call ``jax.distributed.initialize()`` before ``build_mesh``; the
+mesh is laid out so ``data`` spans DCN (across slices) and ``fsdp``/``tensor``
+ride ICI within a slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Axis sizes; -1 means 'remaining devices'. Order: (data, fsdp, tensor)."""
+    data: int = -1
+    fsdp: int = 1
+    tensor: int = 1
+
+    def resolve(self, n_devices: int) -> Tuple[int, int, int]:
+        sizes = [self.data, self.fsdp, self.tensor]
+        free = [i for i, s in enumerate(sizes) if s == -1]
+        fixed = int(np.prod([s for s in sizes if s != -1]))
+        assert len(free) <= 1, 'at most one axis may be -1'
+        if free:
+            assert n_devices % fixed == 0, (n_devices, sizes)
+            sizes[free[0]] = n_devices // fixed
+        assert int(np.prod(sizes)) == n_devices, (
+            f'mesh {sizes} != {n_devices} devices')
+        return tuple(sizes)
+
+
+def build_mesh(config: Optional[MeshConfig] = None,
+               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, fsdp, tensor) mesh over the given devices.
+
+    Device order follows jax.devices(), which enumerates ICI-contiguous
+    chips first — so the innermost axes (tensor, fsdp) map to ICI neighbors
+    and 'data' (outermost) absorbs DCN hops on multi-slice.
+    """
+    config = config or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    d, f, t = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(d, f, t)
+    return Mesh(dev_array, ('data', 'fsdp', 'tensor'))
+
+
+# ---------------------------------------------------------------------------
+# Sharding rules
+# ---------------------------------------------------------------------------
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the batch over data AND fsdp axes (ZeRO-style: every chip gets
+    a batch shard; fsdp only additionally shards params)."""
+    return NamedSharding(mesh, P(('data', 'fsdp')))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _spec_for_param(path: str, shape: Tuple[int, ...], fsdp: int,
+                    tensor: int) -> P:
+    """Partition rule for one FiT parameter leaf.
+
+    Layout knowledge (fitv2_tpu/models): scanned block params are stacked
+    (depth, ...); kernels are (in, out); qkv kernel is (D, 3D); mlp fc1
+    kernels (D, hidden); fc2 (hidden, D); embeddings (vocab, D).
+
+      tensor axis: attention qkv/proj + mlp kernels split on the head/hidden
+        dim (Megatron layout: column-parallel fc1/qkv, row-parallel fc2/proj).
+      fsdp axis: shard the largest remaining dim divisible by the axis size.
+    """
+    ndim = len(shape)
+    spec: list = [None] * ndim
+
+    def divisible(ax: int, size: int) -> bool:
+        return spec[ax] is None and shape[ax] % size == 0 and shape[ax] >= size
+
+    if tensor > 1:
+        tp_axis = None
+        if ('attn/qkv/kernel' in path or 'mlp/fc1' in path
+                or 'adaLN' in path and path.endswith('kernel')):
+            tp_axis = ndim - 1  # column parallel: split output dim
+        elif 'attn/proj/kernel' in path or 'mlp/fc2/kernel' in path:
+            tp_axis = ndim - 2  # row parallel: split input dim
+        if tp_axis is not None and divisible(tp_axis, tensor):
+            spec[tp_axis] = 'tensor'
+
+    if fsdp > 1 and ndim >= 1:
+        # skip the scan depth axis (leading) for stacked block params:
+        # sharding depth would serialize the scan's gather
+        start = 1 if (path.startswith('blocks/') and ndim >= 2) else 0
+        cands = sorted(range(start, ndim), key=lambda a: -shape[a])
+        for ax in cands:
+            if divisible(ax, fsdp):
+                spec[ax] = 'fsdp'
+                break
+
+    return P(*spec)
+
+
+def fit_param_shardings(mesh: Mesh, params) -> object:
+    """NamedSharding pytree for a FiT params tree under the mesh config."""
+    fsdp = mesh.shape['fsdp']
+    tensor = mesh.shape['tensor']
+
+    def to_sharding(path_tuple, leaf):
+        path = '/'.join(str(getattr(k, 'key', k)) for k in path_tuple)
+        return NamedSharding(mesh,
+                             _spec_for_param(path, leaf.shape, fsdp, tensor))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_params(mesh: Mesh, params):
+    """Device-put a host params tree onto its computed shardings."""
+    shardings = fit_param_shardings(mesh, params)
+    return jax.device_put(params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host helpers (reference torch_utils/distributed.py equivalents)
+# ---------------------------------------------------------------------------
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def print0(*args, **kwargs) -> None:
+    if is_main_process():
+        print(*args, **kwargs)
+
+
+def sync_global_devices(name: str = 'barrier') -> None:
+    """Cross-host barrier (reference dist.barrier equivalent)."""
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def process_allgather(x):
+    """Gather per-host arrays to all hosts (reference dist.all_gather)."""
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(x)

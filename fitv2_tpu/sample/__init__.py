@@ -1,0 +1,11 @@
+"""Sampling pipelines: bucketed jit sampler, FID generation, npz writer."""
+
+from fitv2_tpu.sample.pipeline import (
+    INTERPOLATION_MODES, SamplingConfig, apply_rope_interpolation,
+    build_sampler, generate_fid_samples, save_npz,
+)
+
+__all__ = [
+    'INTERPOLATION_MODES', 'SamplingConfig', 'apply_rope_interpolation',
+    'build_sampler', 'generate_fid_samples', 'save_npz',
+]

@@ -1,0 +1,165 @@
+"""Bucketed FiTv2 sampling pipeline: noise -> denoise scan -> VAE -> uint8.
+
+TPU-native rebuild of /root/reference/sample_fitv2_ddp.py:42-348. The whole
+per-batch computation — CFG double-batch Euler loop (:297-314), unpatchify
+(:319-320), VAE decode (:321-322) and uint8 quantization (:324-328) — is one
+jitted program per (height, width) bucket; XLA keeps everything resident in
+HBM across the 250 steps.
+
+RoPE resolution extrapolation follows the reference CLI plumbing (:75-99):
+an interpolation mode rewrites the model's frequency config for the target
+bucket (max_pe_len = target patch grid, ori_max_pe_len = training grid).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fitv2_tpu.models.grid_utils import make_grid_mask_size, pixels_to_tokens
+
+Array = jax.Array
+
+# CLI name -> custom_freqs (reference sample_fitv2_ddp.py:75-93)
+INTERPOLATION_MODES = {
+    'no': 'normal',
+    'linear': 'linear',
+    'dynntk': 'ntk-aware',
+    'ntkpro1': 'ntk-aware-pro1',
+    'ntkpro2': 'ntk-aware-pro2',
+    'partntk': 'ntk-by-parts',
+    'yarn': 'yarn',
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    image_height: int = 256
+    image_width: int = 256
+    num_sampling_steps: int = 250
+    cfg_scale: float = 1.5
+    num_classes: int = 1000
+    per_device_batch: int = 8
+    interpolation: str = 'no'        # key of INTERPOLATION_MODES
+    decouple: bool = False
+    ori_max_pe_len: Optional[int] = None
+    vae_scale: float = 0.18215
+    dtype: Any = jnp.bfloat16
+
+
+def apply_rope_interpolation(model, cfg: SamplingConfig):
+    """Patch the model's RoPE config for the target bucket
+    (reference sample_fitv2_ddp.py:75-99)."""
+    n_h, n_w = pixels_to_tokens(cfg.image_height, cfg.image_width,
+                                model.patch_size)
+    mode = INTERPOLATION_MODES[cfg.interpolation]
+    if cfg.interpolation == 'no':
+        return model.clone(custom_freqs='normal', online_rope=False)
+    assert cfg.ori_max_pe_len is not None, (
+        'interpolated sampling needs ori_max_pe_len (training grid size)')
+    return model.clone(
+        custom_freqs=mode, max_pe_len_h=n_h, max_pe_len_w=n_w,
+        decouple=cfg.decouple, ori_max_pe_len=cfg.ori_max_pe_len,
+        online_rope=False,
+        max_cached_len=max(model.max_cached_len, n_h, n_w))
+
+
+def build_sampler(model, params, cfg: SamplingConfig,
+                  vae=None, vae_params=None
+                  ) -> Callable[[Array, Array], Array]:
+    """Returns jitted sample_fn(rng, labels(B,)) -> images.
+
+    With a VAE: uint8 (B, H, W, 3). Without: latents (B, C, H/8, W/8).
+    The bucket's shapes are static; call once per bucket and reuse.
+    """
+    model = apply_rope_interpolation(model, cfg)
+    n_h, n_w = pixels_to_tokens(cfg.image_height, cfg.image_width,
+                                model.patch_size)
+    lat_h, lat_w = cfg.image_height // 8, cfg.image_width // 8
+    n_ctx = model.context_size
+    assert n_h * n_w <= n_ctx, (
+        f'bucket {n_h}x{n_w} exceeds context {n_ctx}; build the model with a '
+        f'larger context_size for this bucket')
+    B = cfg.per_device_batch
+    token_dim = model.patch_size ** 2 * model.in_channels
+
+    grid, mask, size = make_grid_mask_size(2 * B, n_h, n_w, n_ctx)
+    y_null = jnp.full((B,), cfg.num_classes, jnp.int32)
+    sigmas = jnp.linspace(0.0, 1.0, cfg.num_sampling_steps + 1)
+
+    def sample_fn(rng: Array, labels: Array) -> Array:
+        y = jnp.concatenate([labels.astype(jnp.int32), y_null])
+        z = jax.random.normal(rng, (B, n_ctx, token_dim), jnp.float32)
+
+        def step(z, pair):
+            t_cur, t_next = pair[0], pair[1]
+            z_in = jnp.concatenate([z, z], axis=0).astype(cfg.dtype)
+            t2 = jnp.full((2 * B,), t_cur, jnp.float32)
+            out = model.apply({'params': params}, z_in, t2, y, grid, mask,
+                              size)
+            cond, uncond = jnp.split(out.astype(jnp.float32), 2, axis=0)
+            v = uncond + cfg.cfg_scale * (cond - uncond)
+            return z + (t_next - t_cur) * v, None
+
+        pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
+        z, _ = jax.lax.scan(step, z, pairs)
+
+        z = z[:, :n_h * n_w]
+        latents = model.unpatchify(z, (lat_h, lat_w), channel_last=True)
+        latents = latents[..., :model.in_channels]  # drop sigma channels
+        if vae is None:
+            return jnp.transpose(latents, (0, 3, 1, 2))
+        images = vae.apply({'params': vae_params},
+                           latents.astype(cfg.dtype) / cfg.vae_scale,
+                           method=vae.decode)
+        images = jnp.clip(images.astype(jnp.float32), -1.0, 1.0)
+        return jnp.clip(127.5 * images + 128.0, 0, 255).astype(jnp.uint8)
+
+    return jax.jit(sample_fn)
+
+
+def generate_fid_samples(sample_fn: Callable, num_fid_samples: int,
+                         per_device_batch: int, num_classes: int = 1000,
+                         seed: int = 0,
+                         progress: bool = False) -> np.ndarray:
+    """Per-process FID generation loop (reference :248-348 without DDP).
+
+    Per-batch label/noise keys are folded from (seed, process_index, batch),
+    the JAX analogue of the reference's rank-offset seeding (:54-56).
+    Multi-host: each process generates its share; gather with
+    fitv2_tpu.parallel.process_allgather before writing the npz.
+    """
+    proc = jax.process_index()
+    n_proc = jax.process_count()
+    per_proc = int(np.ceil(num_fid_samples / n_proc))
+    out = []
+    n_batches = int(np.ceil(per_proc / per_device_batch))
+    it = range(n_batches)
+    if progress and proc == 0:
+        try:
+            from tqdm import tqdm
+            it = tqdm(it)
+        except ImportError:
+            pass
+    base = jax.random.PRNGKey(seed)
+    for bi in it:
+        key = jax.random.fold_in(jax.random.fold_in(base, proc), bi)
+        k_label, k_noise = jax.random.split(key)
+        labels = jax.random.randint(k_label, (per_device_batch,), 0,
+                                    num_classes)
+        imgs = sample_fn(k_noise, labels)
+        out.append(np.asarray(imgs))
+    return np.concatenate(out, axis=0)[:per_proc]
+
+
+def save_npz(path: str, images: np.ndarray,
+             num_fid_samples: Optional[int] = None) -> None:
+    """ADM-evaluation-suite-compatible npz (reference :340-348)."""
+    if num_fid_samples is not None:
+        images = images[:num_fid_samples]
+    np.savez(path, arr_0=images)

@@ -1,0 +1,13 @@
+"""Training infra: jitted train step, optimizers, LR schedules, EMA."""
+
+from fitv2_tpu.train.lr_scheduler import get_scheduler
+from fitv2_tpu.train.train_step import (
+    OptimizerConfig, TrainState, create_train_state, make_optimizer,
+    make_train_step, scale_lr_by_global_batch, update_ema,
+)
+
+__all__ = [
+    'get_scheduler', 'OptimizerConfig', 'TrainState', 'create_train_state',
+    'make_optimizer', 'make_train_step', 'scale_lr_by_global_batch',
+    'update_ema',
+]

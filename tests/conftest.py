@@ -1,13 +1,14 @@
 """Test configuration: run everything on an 8-device virtual CPU mesh.
 
-Must set env vars before jax is imported anywhere, so this sits at the top of
-conftest (pytest imports conftest before test modules).
+The axon sitecustomize force-sets jax_platforms='axon,cpu' via jax.config
+(overriding the JAX_PLATFORMS env var), so we must override back through
+jax.config AFTER importing jax. XLA_FLAGS still must be set before the CPU
+backend initializes.
 """
 
 import os
 import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
@@ -17,13 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
 
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope='session')
+@pytest.fixture(scope='session', autouse=True)
 def eight_devices():
     devs = jax.devices()
+    assert devs[0].platform == 'cpu', f'tests must run on CPU, got {devs[0]}'
     assert len(devs) == 8, f'expected 8 virtual cpu devices, got {len(devs)}'
     return devs

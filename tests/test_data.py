@@ -1,0 +1,90 @@
+"""Data pipeline: determinism, resume semantics, padding, prefetch loader."""
+
+import numpy as np
+import pytest
+
+from fitv2_tpu.data import (
+    IN1kLatentDataset, INLatentLoader, get_train_sampler,
+    make_synthetic_latent_shards, shard_indices,
+)
+
+
+def test_sampler_deterministic_and_resumable():
+    full = get_train_sampler(100, global_batch_size=8, max_steps=50,
+                             resume_step=0, seed=7)
+    again = get_train_sampler(100, global_batch_size=8, max_steps=50,
+                              resume_step=0, seed=7)
+    np.testing.assert_array_equal(full, again)
+    resumed = get_train_sampler(100, global_batch_size=8, max_steps=50,
+                                resume_step=13, seed=7)
+    np.testing.assert_array_equal(full[13 * 8:], resumed)
+    # different seed differs
+    other = get_train_sampler(100, global_batch_size=8, max_steps=50,
+                              resume_step=0, seed=8)
+    assert not np.array_equal(full, other)
+
+
+def test_sampler_epoch_permutations_cover_dataset():
+    s = get_train_sampler(10, global_batch_size=2, max_steps=10,
+                          resume_step=0, seed=0)
+    # first epoch (10 samples) is a permutation of range(10)
+    assert sorted(s[:10].tolist()) == list(range(10))
+    assert sorted(s[10:20].tolist()) == list(range(10))
+
+
+def test_shard_indices_partition():
+    idx = np.arange(32)
+    a = shard_indices(idx, global_batch_size=8, process_index=0,
+                      process_count=2)
+    b = shard_indices(idx, global_batch_size=8, process_index=1,
+                      process_count=2)
+    # per global batch of 8: proc0 gets first 4, proc1 next 4
+    np.testing.assert_array_equal(a[:4], [0, 1, 2, 3])
+    np.testing.assert_array_equal(b[:4], [4, 5, 6, 7])
+    assert sorted(np.concatenate([a, b]).tolist()) == list(range(32))
+
+
+def test_latent_dataset_and_loader(tmp_path):
+    root = str(tmp_path)
+    make_synthetic_latent_shards(root, n=12, target_len=64, n_classes=10)
+    ds = IN1kLatentDataset(root, target_len=64)
+    assert len(ds) == 12
+    rng = np.random.Generator(np.random.PCG64(0))
+    s = ds.get(0, rng)
+    assert s['feature'].shape == (64, 16)
+    assert s['grid'].shape == (2, 64)
+    assert s['mask'].shape == (64,)
+    assert s['size'].shape == (1, 2)
+    n_valid = int(s['mask'].sum())
+    assert n_valid == int(s['size'][0, 0] * s['size'][0, 1])
+    # padded region zero
+    assert (s['feature'][n_valid:] == 0).all()
+
+    loader = INLatentLoader(root, target_len=64, batch_size=4)
+    it = loader.train_dataloader(global_batch_size=4, max_steps=5,
+                                 resume_step=0, seed=1,
+                                 process_index=0, process_count=1)
+    batches = list(it)
+    assert len(batches) == 5
+    b = batches[0]
+    assert b['feature'].shape == (4, 64, 16)
+    assert b['label'].shape == (4,)
+    assert b['mask'].dtype == np.float32
+
+
+def test_loader_resume_reproduces_order(tmp_path):
+    root = str(tmp_path)
+    make_synthetic_latent_shards(root, n=8, target_len=16, n_classes=4)
+    loader = INLatentLoader(root, target_len=16, batch_size=2)
+
+    def labels_of(resume):
+        it = loader.train_dataloader(global_batch_size=2, max_steps=6,
+                                     resume_step=resume, seed=3,
+                                     process_index=0, process_count=1)
+        # flip choice depends on the loader seed; compare sample identity
+        # via the deterministic index stream -> use labels as proxy
+        return [tuple(b['label'].tolist()) for b in it]
+
+    full = labels_of(0)
+    resumed = labels_of(2)
+    assert full[2:] == resumed

@@ -1,0 +1,106 @@
+"""Sampling pipeline: bucketing, RoPE interpolation plumbing, end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fitv2_tpu.models.fit import FiT
+from fitv2_tpu.models.grid_utils import make_grid_mask_size, pixels_to_tokens
+from fitv2_tpu.sample import (
+    SamplingConfig, apply_rope_interpolation, build_sampler,
+    generate_fid_samples, save_npz,
+)
+from fitv2_tpu.vae import AutoencoderKL
+
+
+def _model(ctx=64):
+    return FiT(context_size=ctx, patch_size=2, in_channels=4,
+               hidden_size=64, depth=2, num_heads=4, num_classes=10,
+               learn_sigma=False, use_sit=True, use_swiglu=True,
+               q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
+               adaln_lora_dim=16, max_cached_len=32)
+
+
+def test_pixels_to_tokens():
+    assert pixels_to_tokens(256, 256, 2) == (16, 16)
+    assert pixels_to_tokens(160, 320, 2) == (10, 20)
+
+
+def test_make_grid_mask_size_padding():
+    grid, mask, size = make_grid_mask_size(2, 3, 4, 16)
+    assert grid.shape == (2, 2, 16)
+    assert float(mask[0].sum()) == 12
+    np.testing.assert_array_equal(np.asarray(size[0, 0]), [3, 4])
+    # w index first
+    np.testing.assert_array_equal(np.asarray(grid[0, 0, :4]), [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(grid[0, 1, :5]), [0, 0, 0, 0, 1])
+
+
+def test_rope_interpolation_plumbing():
+    m = _model()
+    cfg = SamplingConfig(image_height=128, image_width=256,
+                         interpolation='dynntk', ori_max_pe_len=4)
+    m2 = apply_rope_interpolation(m, cfg)
+    assert m2.custom_freqs == 'ntk-aware'
+    assert m2.max_pe_len_h == 8 and m2.max_pe_len_w == 16
+    assert m2.ori_max_pe_len == 4
+    m3 = apply_rope_interpolation(m, SamplingConfig(interpolation='no'))
+    assert m3.custom_freqs == 'normal'
+    with pytest.raises(AssertionError):
+        apply_rope_interpolation(m, SamplingConfig(interpolation='yarn'))
+
+
+def test_sampler_latents_only():
+    model = _model()
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=4, per_device_batch=2,
+                         num_classes=10, dtype=jnp.float32)
+    grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 16)), jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32), grid, mask, size)['params']
+    fn = build_sampler(model, params, cfg)
+    out = fn(jax.random.PRNGKey(1), jnp.arange(2))
+    assert out.shape == (2, 4, 16, 16)  # (B, C, H/8, W/8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sampler_with_vae_uint8(tmp_path):
+    model = _model()
+    vae = AutoencoderKL(block_out_channels=(8, 16, 16, 16))
+    vae_params = vae.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 16, 16, 3)))['params']
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=2, per_device_batch=2,
+                         num_classes=10, dtype=jnp.float32)
+    grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 16)), jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32), grid, mask, size)['params']
+    fn = build_sampler(model, params, cfg, vae, vae_params)
+    imgs = generate_fid_samples(fn, num_fid_samples=4, per_device_batch=2,
+                                num_classes=10)
+    assert imgs.shape == (4, 128, 128, 3)
+    assert imgs.dtype == np.uint8
+
+    p = str(tmp_path / 'samples.npz')
+    save_npz(p, imgs, num_fid_samples=3)
+    loaded = np.load(p)['arr_0']
+    assert loaded.shape == (3, 128, 128, 3)
+
+
+def test_sampler_determinism():
+    model = _model()
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=2, per_device_batch=2,
+                         num_classes=10, dtype=jnp.float32)
+    grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 16)), jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32), grid, mask, size)['params']
+    fn = build_sampler(model, params, cfg)
+    a = fn(jax.random.PRNGKey(5), jnp.arange(2))
+    b = fn(jax.random.PRNGKey(5), jnp.arange(2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

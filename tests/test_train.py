@@ -1,0 +1,155 @@
+"""Train step: loss decreases, EMA tracks, shardings compile on 8-dev mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fitv2_tpu.flow import create_transport
+from fitv2_tpu.models.fit import FiT
+from fitv2_tpu.parallel import (
+    MeshConfig, batch_sharding, build_mesh, fit_param_shardings, replicated,
+    shard_params,
+)
+from fitv2_tpu.train import (
+    OptimizerConfig, create_train_state, get_scheduler, make_optimizer,
+    make_train_step, update_ema,
+)
+
+
+def _tiny_model(n_ctx=16):
+    return FiT(context_size=n_ctx, patch_size=2, in_channels=4,
+               hidden_size=64, depth=2, num_heads=4, num_classes=10,
+               learn_sigma=False, use_sit=True, use_swiglu=True,
+               q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
+               adaln_lora_dim=16, max_cached_len=16)
+
+
+def _batch(B=4, n_ctx=16, n_h=4, n_w=4):
+    gw, gh = np.meshgrid(np.arange(n_w), np.arange(n_h))
+    grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0)
+    grid = np.broadcast_to(grid, (B, 2, n_ctx)).copy()
+    return {
+        'feature': jax.random.normal(jax.random.PRNGKey(0), (B, n_ctx, 16)),
+        'grid': jnp.asarray(grid, jnp.int32),
+        'mask': jnp.ones((B, n_ctx), jnp.float32),
+        'label': (jnp.arange(B) % 10).astype(jnp.int32),
+        'size': jnp.asarray(np.broadcast_to(np.array([[4, 4]]), (B, 1, 2)),
+                            jnp.int32),
+    }
+
+
+def _init_params(model, batch):
+    return model.init(
+        {'params': jax.random.PRNGKey(1),
+         'label_dropout': jax.random.PRNGKey(2)},
+        batch['feature'][:1], jnp.zeros((1,)), batch['label'][:1],
+        batch['grid'][:1], batch['mask'][:1], batch['size'][:1],
+        train=True)['params']
+
+
+def test_train_step_reduces_loss():
+    model = _tiny_model()
+    batch = _batch()
+    params = _init_params(model, batch)
+    transport = create_transport('Linear', 'velocity', snr_type='lognorm')
+    tx = make_optimizer(OptimizerConfig(learning_rate=3e-3))
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(make_train_step(model, transport, tx))
+    rng = jax.random.PRNGKey(0)
+
+    losses = []
+    for _ in range(30):
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(metrics['loss']))
+    assert int(state.step) == 30
+    assert np.isfinite(losses).all()
+    # overfitting one batch must reduce loss substantially
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
+
+
+def test_ema_decay():
+    p = {'w': jnp.ones((4,))}
+    e = {'w': jnp.zeros((4,))}
+    out = update_ema(e, p, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out['w']), 0.1, rtol=1e-6)
+
+
+def test_grad_accum_multisteps():
+    model = _tiny_model()
+    batch = _batch()
+    params = _init_params(model, batch)
+    transport = create_transport('Linear', 'velocity')
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-3,
+                                        grad_accum_steps=2))
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(make_train_step(model, transport, tx))
+    p0 = state.params
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+    # after the first micro-step params are unchanged (accumulating)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, state.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, state.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+
+
+def test_lr_schedules():
+    import numpy as np
+    sched = get_scheduler('constant_with_warmup', 1e-4, num_warmup_steps=100)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(50)), 0.5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(1000)), 1e-4, rtol=1e-6)
+
+    sched = get_scheduler('cosine', 1e-4, num_warmup_steps=10,
+                          num_training_steps=110)
+    np.testing.assert_allclose(float(sched(10)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(110)), 0.0, atol=1e-10)
+
+    sched = get_scheduler('linear', 1e-4, num_warmup_steps=10,
+                          num_training_steps=110)
+    np.testing.assert_allclose(float(sched(60)), 0.5e-4, rtol=1e-5)
+
+    sched = get_scheduler('piecewise_constant', 1e-4,
+                          step_rules='1:100,0.1:200,0.01')
+    np.testing.assert_allclose(float(sched(50)), 1e-4)
+    np.testing.assert_allclose(float(sched(150)), 1e-5)
+    np.testing.assert_allclose(float(sched(250)), 1e-6)
+
+
+def test_sharded_train_step_on_mesh(eight_devices):
+    """DP=2 x FSDP=2 x TP=2 mesh: sharded step executes and matches shapes."""
+    mesh = build_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    model = _tiny_model()
+    batch = _batch(B=8)
+    params = _init_params(model, batch)
+    transport = create_transport('Linear', 'velocity')
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-3))
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(model, transport, tx)
+
+    param_sh = fit_param_shardings(mesh, params)
+    # at least one leaf must actually be sharded over fsdp or tensor
+    specs = [s.spec for s in jax.tree_util.tree_leaves(param_sh)]
+    assert any(any(a in ('fsdp', 'tensor') for a in spec if a)
+               for spec in specs), specs
+
+    sharded_params = shard_params(mesh, params)
+    bsh = batch_sharding(mesh)
+    batch_sh = jax.device_put(batch, bsh)
+    state = create_train_state(sharded_params, tx)
+
+    new_state, metrics = jax.jit(step_fn)(state, batch_sh,
+                                          jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))
+    assert np.isfinite(float(metrics['grad_norm']))
+
+
+def test_mesh_config_resolve():
+    assert MeshConfig(data=-1, fsdp=2, tensor=2).resolve(8) == (2, 2, 2)
+    assert MeshConfig().resolve(8) == (8, 1, 1)
+    with pytest.raises(AssertionError):
+        MeshConfig(data=3, fsdp=3, tensor=1).resolve(8)
