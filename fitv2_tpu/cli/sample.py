@@ -1,0 +1,87 @@
+"""CLI: FiTv2 FID sampling (reference sample_fitv2_ddp.py parity).
+
+Usage:
+    python -m fitv2_tpu.cli.sample --cfgdir configs/fitv2_xl.yaml \
+        --ckpt FiTv2_XL/model_ema.safetensors \
+        --image-height 256 --image-width 256 --cfg-scale 1.5 \
+        --num-sampling-steps 250 --num-fid-samples 50000 \
+        [--interpolation dynntk --ori-max-pe-len 16 --decouple] \
+        [--vae path/to/sd-vae.safetensors] --out samples.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='FiTv2 TPU FID sampling')
+    p.add_argument('--cfgdir', nargs='+', required=True)
+    p.add_argument('--ckpt', required=True)
+    p.add_argument('--image-height', type=int, default=256)
+    p.add_argument('--image-width', type=int, default=256)
+    p.add_argument('--cfg-scale', type=float, default=1.5)
+    p.add_argument('--num-sampling-steps', type=int, default=250)
+    p.add_argument('--num-fid-samples', type=int, default=50_000)
+    p.add_argument('--per-device-batch', type=int, default=32)
+    p.add_argument('--num-classes', type=int, default=1000)
+    p.add_argument('--global-seed', type=int, default=0)
+    # RoPE interpolation (reference sample_fitv2_ddp.py:75-99)
+    p.add_argument('--interpolation', default='no',
+                   choices=['no', 'linear', 'dynntk', 'ntkpro1', 'ntkpro2',
+                            'partntk', 'yarn'])
+    p.add_argument('--decouple', action='store_true')
+    p.add_argument('--ori-max-pe-len', type=int, default=None)
+    p.add_argument('--vae', default=None,
+                   help='sd-vae safetensors/bin; omit to emit raw latents')
+    p.add_argument('--out', default='samples.npz')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import numpy as np
+
+    from fitv2_tpu.ckpt import init_from_ckpt
+    from fitv2_tpu.sample import (
+        SamplingConfig, build_sampler, generate_fid_samples, save_npz)
+    from fitv2_tpu.utils import config_to_model, load_config
+
+    from fitv2_tpu.utils.config import _to_plain
+    cfg = _to_plain(load_config(args.cfgdir))
+    net = cfg['diffusion']['network_config']
+    model = config_to_model(net)
+    params = init_from_ckpt(
+        args.ckpt, depth=model.depth,
+        adaln_type=model.adaln_type, scan_blocks=model.scan_blocks)
+
+    vae = vae_params = None
+    if args.vae:
+        from fitv2_tpu.vae import AutoencoderKL, load_vae_params
+        vae = AutoencoderKL()
+        vae_params = load_vae_params(args.vae)
+
+    scfg = SamplingConfig(
+        image_height=args.image_height, image_width=args.image_width,
+        num_sampling_steps=args.num_sampling_steps,
+        cfg_scale=args.cfg_scale, num_classes=args.num_classes,
+        per_device_batch=args.per_device_batch,
+        interpolation=args.interpolation, decouple=args.decouple,
+        ori_max_pe_len=args.ori_max_pe_len)
+    fn = build_sampler(model, params, scfg, vae, vae_params)
+    images = generate_fid_samples(
+        fn, args.num_fid_samples, args.per_device_batch,
+        args.num_classes, seed=args.global_seed, progress=True)
+
+    import jax
+    if jax.process_count() > 1:
+        from fitv2_tpu.parallel import process_allgather, sync_global_devices
+        sync_global_devices('samples')
+        images = np.concatenate(process_allgather(images), axis=0)
+    if jax.process_index() == 0:
+        save_npz(args.out, images, args.num_fid_samples)
+        print(f'Saved {args.out} [shape={images.shape}]')
+
+
+if __name__ == '__main__':
+    main()

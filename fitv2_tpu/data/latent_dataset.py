@@ -102,17 +102,48 @@ def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class PrefetchLoader:
-    """Thread-pool prefetcher: iterator of collated numpy batches."""
+    """Prefetching batch iterator over the index stream.
+
+    Two assembly backends:
+      - native (default when buildable): the C++ thread-pool loader
+        (fitv2_tpu/data/native_loader.py -> native/latent_loader.cc) does
+        safetensors parse + flip + pad entirely outside Python;
+      - python: a ThreadPoolExecutor over IN1kLatentDataset.get.
+    Both produce identical batches for the same seed (source choice and
+    flip draws use the same per-sample PCG64 streams).
+    """
 
     def __init__(self, dataset: IN1kLatentDataset, index_stream: np.ndarray,
                  batch_size: int, num_workers: int = 8,
-                 prefetch_batches: int = 4, seed: int = 0):
+                 prefetch_batches: int = 4, seed: int = 0,
+                 use_native: Optional[bool] = None):
         self.dataset = dataset
         self.index_stream = index_stream
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch_batches
         self.seed = seed
+        if use_native is None:
+            from fitv2_tpu.data import native_loader
+            use_native = native_loader.available()
+        self.use_native = use_native
+
+    def _native_batch(self, bi: int, idxs) -> Dict[str, np.ndarray]:
+        from fitv2_tpu.data import native_loader
+        ds = self.dataset
+        paths, flips = [], []
+        for j, idx in enumerate(idxs):
+            rng = np.random.Generator(np.random.PCG64((self.seed, bi, j)))
+            choices = ds.files[idx]
+            if ds.random == 'random':
+                paths.append(choices[int(rng.integers(len(choices)))])
+            elif ds.random == 'resize':
+                paths.append(choices[0])
+            else:
+                paths.append(choices[-1])
+            flips.append(int(rng.random() < ds.flip_prob))
+        return native_loader.load_batch(paths, flips, ds.target_len,
+                                        num_threads=self.num_workers)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -124,6 +155,9 @@ class PrefetchLoader:
                                                   self.batch_size)):
                     if stop.is_set():
                         return
+                    if self.use_native:
+                        q.put(self._native_batch(bi, idxs))
+                        continue
                     rngs = [np.random.Generator(np.random.PCG64(
                         (self.seed, bi, j))) for j in range(len(idxs))]
                     samples = list(pool.map(

@@ -1,0 +1,74 @@
+"""Frozen representation encoders for REPA alignment.
+
+Replaces the reference encoder zoo loader
+(/root/reference/fit/utils/utils.py:267-375 ``load_encoders`` for
+dinov2/dinov1/clip/mae/jepa/mocov3 via torch.hub) with local-checkpoint
+flax ViTs (this environment has zero egress; torch.hub downloads are not
+possible) plus per-encoder preprocessing (``preprocess_raw_image``,
+utils.py:378-400). For training pipelines the recommended path is
+precomputing encoder features into the latent shards ('repa_target' field),
+which removes the frozen teacher from the train step entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from fitv2_tpu.encoders.vit import (
+    VisionTransformer, ViTBlock, convert_vit_state_dict, vit_base,
+    vit_huge, vit_large,
+)
+
+# (mean, std) in [0,1] space, per encoder family (reference
+# preprocess_raw_image, utils.py:378-400)
+_IMAGENET = (np.array([0.485, 0.456, 0.406]), np.array([0.229, 0.224, 0.225]))
+_CLIP = (np.array([0.48145466, 0.4578275, 0.40821073]),
+         np.array([0.26862954, 0.26130258, 0.27577711]))
+
+_PREPROC = {
+    'dinov2': _IMAGENET, 'dinov1': _IMAGENET, 'mae': _IMAGENET,
+    'jepa': _IMAGENET, 'mocov3': _IMAGENET, 'clip': _CLIP,
+}
+
+_ARCHS: Dict[str, Callable[..., VisionTransformer]] = {
+    'vit_base': vit_base, 'vit_large': vit_large, 'vit_huge': vit_huge,
+}
+
+
+def preprocess_raw_image(x: jnp.ndarray, enc_type: str) -> jnp.ndarray:
+    """uint8/float [0,255] NHWC -> encoder-normalized float NHWC."""
+    family = enc_type.split('-')[0]
+    mean, std = _PREPROC.get(family, _IMAGENET)
+    x = x.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
+        std, jnp.float32)
+
+
+def load_encoders(enc_type: str, weights_path: Optional[str] = None,
+                  arch: str = 'vit_base'
+                  ) -> Tuple[VisionTransformer, Any, Callable]:
+    """(module, params, preprocess_fn) for a frozen teacher.
+
+    weights_path: local torch state dict (timm/jepa naming). Without one the
+    encoder is randomly initialized — useful only for pipeline tests.
+    """
+    model = _ARCHS[arch]()
+    if weights_path is not None:
+        from fitv2_tpu.ckpt.torch_import import load_torch_state_dict
+        params = convert_vit_state_dict(load_torch_state_dict(weights_path))
+    else:
+        import jax
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, model.img_size, model.img_size, 3)))['params']
+    return model, params, lambda x: preprocess_raw_image(x, enc_type)
+
+
+__all__ = [
+    'VisionTransformer', 'ViTBlock', 'convert_vit_state_dict', 'vit_base',
+    'vit_huge', 'vit_large', 'load_encoders', 'preprocess_raw_image',
+]

@@ -87,6 +87,7 @@ class FiT(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = 'auto'
     scan_blocks: bool = True
+    save_attention: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -152,7 +153,7 @@ class FiT(nn.Module):
             adaln_type=self.adaln_type, adaln_lora_dim=self.adaln_lora_dim,
             use_rope=self.rel_pos_embed is not None,
             add_rel_pe_to_v=self.add_rel_pe_to_v, dtype=self.dtype,
-            attn_impl=self.attn_impl)
+            attn_impl=self.attn_impl, save_attention=self.save_attention)
 
         if self.scan_blocks:
             from flax.core import freeze
@@ -161,7 +162,7 @@ class FiT(nn.Module):
                 body_cls = nn.remat(body_cls, prevent_cse=False)
             ScanBlocks = nn.scan(
                 body_cls,
-                variable_axes={'params': 0},
+                variable_axes={'params': 0, 'intermediates': 0},
                 split_rngs={'params': True, 'label_dropout': True},
                 length=self.depth,
                 in_axes=nn.broadcast,

@@ -37,9 +37,18 @@ zeros = nn.initializers.zeros_init()
 normal02 = nn.initializers.normal(stddev=0.02)
 
 
+def _expand_mod(m: Array, x: Array) -> Array:
+    """Broadcast a modulation tensor against (B, N, D) tokens.
+
+    (B, D) global conditioning -> (B, 1, D); (B, N, D) per-token conditioning
+    (LwD shared-encoder variants, fit_model_lwd_bk.py c_repre) passes through.
+    """
+    return m[:, None, :] if m.ndim == x.ndim - 1 else m
+
+
 def modulate(x: Array, shift: Array, scale: Array) -> Array:
     """AdaLN modulation: x * (1 + scale) + shift (reference fit/model/utils.py:6)."""
-    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    return x * (1.0 + _expand_mod(scale, x)) + _expand_mod(shift, x)
 
 
 def _norm_no_affine(x: Array, eps: float = 1e-6) -> Array:
@@ -209,6 +218,7 @@ class Attention(nn.Module):
     add_rel_pe_to_v: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = 'auto'  # 'auto' | 'xla' | 'pallas'
+    save_attention: bool = False  # sow probs for viz (reference fit_model.py:302-331)
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None,
@@ -237,6 +247,17 @@ class Attention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
+        if self.save_attention:
+            # capture softmax probabilities for attention visualization
+            # (reference Attention stores maps when save_attention is set)
+            logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits * (Dh ** -0.5)
+            if mask is not None:
+                logits = jnp.where((mask > 0)[:, None, None, :], logits,
+                                   float('-inf'))
+            probs = jax.nn.softmax(logits, axis=-1)
+            self.sow('intermediates', 'attn_probs', probs)
         out = masked_attention(q, k, v, mask, impl=self.attn_impl)  # (B, N, H, Dh)
         out = out.reshape(B, N, C)
         if mask is not None:
@@ -300,6 +321,7 @@ class FiTBlock(nn.Module):
     add_rel_pe_to_v: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = 'auto'
+    save_attention: bool = False
 
     @nn.compact
     def __call__(self, x: Array, c: Array, mask: Optional[Array],
@@ -319,8 +341,9 @@ class FiTBlock(nn.Module):
             k_norm=self.k_norm, qk_norm_weight=self.qk_norm_weight,
             use_rope=self.use_rope, add_rel_pe_to_v=self.add_rel_pe_to_v,
             dtype=self.dtype, attn_impl=self.attn_impl,
+            save_attention=self.save_attention,
             name='attn')(h, mask, freqs_cos, freqs_sin)
-        x = x + gate_msa[:, None, :] * attn_out
+        x = x + _expand_mod(gate_msa, x) * attn_out
 
         h = modulate(LayerNorm(self.norm_layer, name='norm2')(x), shift_mlp, scale_mlp)
         mlp_hidden = int(D * self.mlp_ratio)
@@ -331,7 +354,7 @@ class FiTBlock(nn.Module):
         else:
             mlp_out = Mlp(mlp_hidden, use_bias=self.ffn_bias, dtype=self.dtype,
                           name='mlp')(h)
-        return x + gate_mlp[:, None, :] * mlp_out
+        return x + _expand_mod(gate_mlp, x) * mlp_out
 
 
 class FinalLayer(nn.Module):

@@ -57,7 +57,11 @@ def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
     Returns: (B, N, H, Dh)
     """
     n = q.shape[1]
-    if impl == 'pallas' or (impl == 'auto' and n >= 2048):
+    # measured on v5e (B=8, H=16, Dh=72, bf16): pallas 2.15 ms vs XLA
+    # 2.74 ms at N=1024; XLA wins at N=256 where tiling pads dominate
+    on_tpu = jax.default_backend() not in ('cpu',)
+    if impl == 'pallas' or (impl == 'auto' and on_tpu and n >= 1024
+                            and mask is not None):
         try:
             from fitv2_tpu.ops.flash_attention import flash_masked_attention
             return flash_masked_attention(q, k, v, mask)

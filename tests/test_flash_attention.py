@@ -1,0 +1,78 @@
+"""Flash attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fitv2_tpu.ops.attention import _xla_masked_attention
+
+
+def _rand_qkv(rng, b=2, n=256, h=2, dh=72):
+    ks = jax.random.split(rng, 3)
+    shape = (b, n, h, dh)
+    return (jax.random.normal(ks[0], shape), jax.random.normal(ks[1], shape),
+            jax.random.normal(ks[2], shape))
+
+
+def _flash_interpret(q, k, v, mask, block_q=128, block_k=128):
+    """Run the pallas kernel in interpreter mode (no TPU needed)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from fitv2_tpu.ops import flash_attention as fa
+    with pltpu.force_tpu_interpret_mode():
+        return fa._flash_forward(q, k, v, mask, block_q, block_k)
+
+
+def test_flash_matches_xla_full_mask():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0))
+    mask = jnp.ones((2, 256))
+    out = _flash_interpret(q, k, v, mask)
+    ref = _xla_masked_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_matches_xla_padded():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1))
+    mask = jnp.concatenate([jnp.ones((2, 200)), jnp.zeros((2, 56))], axis=1)
+    out = _flash_interpret(q, k, v, mask)
+    ref = _xla_masked_attention(q, k, v, mask)
+    # compare only valid query rows (padded rows are zeroed by the caller)
+    np.testing.assert_allclose(np.asarray(out[:, :200]),
+                               np.asarray(ref[:, :200]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_padded_keys_have_no_influence():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2))
+    mask = jnp.concatenate([jnp.ones((2, 128)), jnp.zeros((2, 128))], axis=1)
+    out1 = _flash_interpret(q, k, v, mask)
+    k2 = k.at[:, 128:].set(123.0)
+    v2 = v.at[:, 128:].set(-77.0)
+    out2 = _flash_interpret(q, k2, v2, mask)
+    np.testing.assert_allclose(np.asarray(out1[:, :128]),
+                               np.asarray(out2[:, :128]), rtol=1e-6)
+
+
+def test_flash_gradient_matches_xla():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), b=1, n=128, h=1, dh=32)
+    mask = jnp.concatenate([jnp.ones((1, 96)), jnp.zeros((1, 32))], axis=1)
+
+    from jax.experimental.pallas import tpu as pltpu
+    from fitv2_tpu.ops.flash_attention import flash_masked_attention
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_masked_attention(q, k, v, mask, 64, 64)
+        return jnp.sum((out * mask[..., None, None]) ** 2)
+
+    def loss_ref(q, k, v):
+        out = _xla_masked_attention(q, k, v, mask)
+        return jnp.sum((out * mask[..., None, None]) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
