@@ -122,6 +122,7 @@ class FiTLwD(nn.Module):
     time_shifting: float = 1.0
     number_of_perflow: int = 4
     perlayer_embedder: bool = False
+    number_of_shared_blocks: int = 0  # shared trunk run before each segment
     number_of_representation_blocks: int = 0
     repa_dim: int = 1024
     fourier_basis: bool = False
@@ -187,6 +188,11 @@ class FiTLwD(nn.Module):
             for _ in range(n_emb)]
         self.segments = [BlockStack(self.layers_per_flow, bk)
                          for _ in range(K)]
+        if self.number_of_shared_blocks > 0:
+            # trunk blocks shared by every segment (reference
+            # fit_model_lwd_shared.py:21-830 / lwd_ms start_shared_blocks)
+            self.start_shared_blocks = BlockStack(
+                self.number_of_shared_blocks, bk)
         if self.adaln_type == 'lora':
             self.global_adaLN_modulation = AdaLNModulation(
                 self.hidden_size, 6, adaln_type='normal',
@@ -198,6 +204,13 @@ class FiTLwD(nn.Module):
                                  for _ in range(K)]
             self.linear_projection = ProjectionHead(
                 self.repa_dim, dtype=self.dtype)
+        if self.fourier_basis:
+            # t_next-conditioned [cos||sin] basis; final-layer outputs become
+            # basis coefficients (reference fit_model_lwd_ms.py:161-162,
+            # 517-522, 470-472)
+            out_dim = self.patch_size ** 2 * self.out_channels
+            self.fourier_basis_embedder = TimestepEmbedder(
+                2 * out_dim, dtype=self.dtype)
 
     # -- shared helpers ------------------------------------------------------
 
@@ -231,11 +244,20 @@ class FiTLwD(nn.Module):
         return c, 0.0
 
     def _segment_body(self, i: int, x_tokens: Array, c, mask, f_cos, f_sin,
-                      global_adaln) -> Array:
-        """embed -> segment blocks -> final layer (one velocity eval)."""
+                      global_adaln, t_next: Optional[Array] = None) -> Array:
+        """embed -> [shared trunk] -> segment blocks -> final layer."""
         h = self._emb(self.x_embedders, i)(x_tokens.astype(self.dtype))
+        if self.number_of_shared_blocks > 0:
+            h = self.start_shared_blocks(h, c, mask, f_cos, f_sin,
+                                         global_adaln)
         h = self.segments[i](h, c, mask, f_cos, f_sin, global_adaln)
         out = self._emb(self.final_layers, i)(h, c)
+        if self.fourier_basis:
+            assert t_next is not None, 'fourier_basis needs t_next'
+            basis = self.fourier_basis_embedder(t_next.astype(self.dtype))
+            cos_b, sin_b = jnp.split(basis[:, None, :], 2, axis=-1)
+            coeff_cos, coeff_sin = jnp.split(out, 2, axis=-1)
+            out = coeff_cos * cos_b + coeff_sin * sin_b
         return out * mask.astype(out.dtype)[..., None]
 
     def _rep_forward(self, i: int, x_tokens: Array, c, mask, f_cos, f_sin,
@@ -255,9 +277,12 @@ class FiTLwD(nn.Module):
     def forward_run_layer(self, x: Array, t: Array, y: Array,
                           segment_idx: int, grid: Array, mask: Array,
                           size: Optional[Array] = None, train: bool = False,
-                          force_drop_ids: Optional[Array] = None
+                          force_drop_ids: Optional[Array] = None,
+                          t_next: Optional[Array] = None
                           ) -> Tuple[Array, Optional[Array]]:
-        """One segment forward. Returns (velocity pred, repa projection)."""
+        """One segment forward. Returns (velocity pred, repa projection).
+        t_next is required only for fourier_basis models (reference
+        forward_run_layer t_next kwarg)."""
         f_cos, f_sin = self._rope(grid, size)
         y_embed = self._emb(self.y_embedders, segment_idx)(
             y, train, force_drop_ids)
@@ -266,8 +291,10 @@ class FiTLwD(nn.Module):
         if self.rep_layers_per_flow > 0:
             repr_proj = self._rep_forward(segment_idx, x, c, mask, f_cos,
                                           f_sin, global_adaln)
+        if self.fourier_basis and t_next is None:
+            t_next = jnp.ones_like(t)  # init-time default
         out = self._segment_body(segment_idx, x, c, mask, f_cos, f_sin,
-                                 global_adaln)
+                                 global_adaln, t_next)
         return out, repr_proj
 
     def init_all(self, x: Array, t: Array, y: Array, grid: Array,
@@ -310,8 +337,9 @@ class FiTLwD(nn.Module):
             sig = self._segment_sigma_list(i, number_of_step_perflow)
             for s in range(number_of_step_perflow):
                 t = jnp.full((B,), sig[s], jnp.float32)
+                t_nx = jnp.full((B,), sig[s + 1], jnp.float32)
                 c, g = self._cond(i, t, y_embed)
-                v = self._segment_body(i, x, c, mask, f_cos, f_sin, g)
+                v = self._segment_body(i, x, c, mask, f_cos, f_sin, g, t_nx)
                 x = x + (sig[s + 1] - sig[s]) * v.astype(x.dtype)
         return x
 
@@ -328,9 +356,10 @@ class FiTLwD(nn.Module):
             sig = self._segment_sigma_list(i, number_of_step_perflow)
             for s in range(number_of_step_perflow):
                 t = jnp.full((2 * B,), sig[s], jnp.float32)
+                t_nx = jnp.full((2 * B,), sig[s + 1], jnp.float32)
                 c, g = self._cond(i, t, y_embed)
                 x2 = jnp.concatenate([x, x], axis=0)
-                v = self._segment_body(i, x2, c, mask, f_cos, f_sin, g)
+                v = self._segment_body(i, x2, c, mask, f_cos, f_sin, g, t_nx)
                 v = v.astype(x.dtype)
                 v_cond, v_uncond = jnp.split(v, 2, axis=0)
                 v = v_uncond + cfg_scale * (v_cond - v_uncond)
@@ -359,10 +388,11 @@ class FiTLwD(nn.Module):
                 t_cur = float(sig[s])
                 dt = float(sig[s + 1] - sig[s])
                 t = jnp.full((2 * B,), t_cur, jnp.float32)
+                t_nx = jnp.full((2 * B,), float(sig[s + 1]), jnp.float32)
                 c, g = self._cond(i, t, y_embed)
                 x2 = jnp.concatenate([x, x], axis=0)
-                v = self._segment_body(i, x2, c, mask, f_cos, f_sin,
-                                       g).astype(jnp.float32)
+                v = self._segment_body(i, x2, c, mask, f_cos, f_sin, g,
+                                       t_nx).astype(jnp.float32)
                 x32 = x.astype(jnp.float32)
                 diffusion = 1.0 - t_cur
                 score = (t_cur * v - jnp.concatenate([x32, x32])) / max(
@@ -471,8 +501,9 @@ class FiTLwD(nn.Module):
             sub = np.linspace(s_cur, s_next, number_of_step_perflow + 1)
             for s in range(number_of_step_perflow):
                 t = jnp.full((B,), sub[s], jnp.float32)
+                t_nx = jnp.full((B,), sub[s + 1], jnp.float32)
                 c, g = self._cond(i, t, y_embed)
-                v = self._segment_body(i, x, c, mask, f_cos, f_sin, g)
+                v = self._segment_body(i, x, c, mask, f_cos, f_sin, g, t_nx)
                 x = x + float(sub[s + 1] - sub[s]) * v.astype(x.dtype)
         return x
 

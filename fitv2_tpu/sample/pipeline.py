@@ -70,12 +70,17 @@ def apply_rope_interpolation(model, cfg: SamplingConfig):
 
 
 def build_sampler(model, params, cfg: SamplingConfig,
-                  vae=None, vae_params=None
+                  vae=None, vae_params=None,
+                  return_trajectory: bool = False
                   ) -> Callable[[Array, Array], Array]:
     """Returns jitted sample_fn(rng, labels(B,)) -> images.
 
     With a VAE: uint8 (B, H, W, 3). Without: latents (B, C, H/8, W/8).
     The bucket's shapes are static; call once per bucket and reuse.
+
+    return_trajectory=True additionally returns the per-step noisy latents
+    (steps, B, N, C) — the difficulty-analysis capture of
+    reference sample_fitv2_ddp_difficulty.py:321-336.
     """
     model = apply_rope_interpolation(model, cfg)
     n_h, n_w = pixels_to_tokens(cfg.image_height, cfg.image_width,
@@ -104,21 +109,25 @@ def build_sampler(model, params, cfg: SamplingConfig,
                               size)
             cond, uncond = jnp.split(out.astype(jnp.float32), 2, axis=0)
             v = uncond + cfg.cfg_scale * (cond - uncond)
-            return z + (t_next - t_cur) * v, None
+            z_next = z + (t_next - t_cur) * v
+            return z_next, (z_next if return_trajectory else None)
 
         pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
-        z, _ = jax.lax.scan(step, z, pairs)
+        z, traj = jax.lax.scan(step, z, pairs)
 
         z = z[:, :n_h * n_w]
         latents = model.unpatchify(z, (lat_h, lat_w), channel_last=True)
         latents = latents[..., :model.in_channels]  # drop sigma channels
         if vae is None:
-            return jnp.transpose(latents, (0, 3, 1, 2))
-        images = vae.apply({'params': vae_params},
-                           latents.astype(cfg.dtype) / cfg.vae_scale,
-                           method=vae.decode)
-        images = jnp.clip(images.astype(jnp.float32), -1.0, 1.0)
-        return jnp.clip(127.5 * images + 128.0, 0, 255).astype(jnp.uint8)
+            out = jnp.transpose(latents, (0, 3, 1, 2))
+        else:
+            images = vae.apply({'params': vae_params},
+                               latents.astype(cfg.dtype) / cfg.vae_scale,
+                               method=vae.decode)
+            images = jnp.clip(images.astype(jnp.float32), -1.0, 1.0)
+            out = jnp.clip(127.5 * images + 128.0, 0,
+                           255).astype(jnp.uint8)
+        return (out, traj) if return_trajectory else out
 
     return jax.jit(sample_fn)
 

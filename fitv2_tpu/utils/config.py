@@ -125,8 +125,7 @@ REFERENCE_TARGET_MAP = {
 #   ignore_keys / finetune (checkpoint loading lives in fitv2_tpu.ckpt),
 #   save_attention (attention viz uses capture hooks instead).
 _DROPPED_KEYS = {'abs_pos_embed', 'pretrain_ckpt', 'ignore_keys', 'finetune',
-                 'save_attention', 'overlap', 'fourier_basis', 'global_cls',
-                 'number_of_shared_blocks'}
+                 'overlap', 'global_cls'}
 
 
 def config_to_model(network_config: Mapping[str, Any], **overrides) -> Any:

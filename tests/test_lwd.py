@@ -128,6 +128,32 @@ def test_lwd_train_step_reduces_loss():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+def test_shared_trunk_blocks():
+    model = _model(number_of_shared_blocks=1)
+    params, (x, t, y, grid, mask, size) = _init(model)
+    assert 'start_shared_blocks' in params
+    out, _ = model.apply({'params': params}, x, t, y, 0, grid, mask, size,
+                         method=model.forward_run_layer)
+    assert out.shape == (2, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fourier_basis_output():
+    """fourier_basis: final layer emits 2x channels combined with a
+    t_next-conditioned cos/sin basis (reference fit_model_lwd_ms.py:470-472,
+    517-522)."""
+    model = _model(fourier_basis=True)
+    params, (x, t, y, grid, mask, size) = _init(model)
+    assert 'fourier_basis_embedder' in params
+    out, _ = model.apply({'params': params}, x, t, y, 0, grid, mask, size,
+                         False, None, jnp.ones_like(t),
+                         method=model.forward_run_layer)
+    # output collapses back to p**2 * C_out channels
+    assert out.shape == (2, 16, 16)
+    s = model.apply({'params': params}, x, y, 2, method=model.sample)
+    assert s.shape == x.shape and np.isfinite(np.asarray(s)).all()
+
+
 def test_get_segment_index():
     model = _model(number_of_perflow=2)
     assert model.get_segment_index(0.0) == 0
