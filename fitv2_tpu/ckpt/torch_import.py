@@ -100,6 +100,50 @@ def _map_adaln(flat, tprefix: str, fprefix: str, sd, adaln_type: str):
         _map_linear(flat, tprefix + '.1', fprefix + '/fc_out', sd)
 
 
+def _split_layout_permute(flat: Dict[str, np.ndarray],
+                          num_heads: int) -> None:
+    """Permute q/k bases for the TPU-fast split RoPE layout (in place).
+
+    With rope_layout='split' the model rotates contiguous halves instead of
+    interleaved pairs (fitv2_tpu/models/rope.py rotate_half_split). Attention
+    dot products are invariant when q AND k live in the permuted basis, so
+    folding the permutation into the qkv projection columns (and q/k norm
+    weights) at import time makes outputs bit-compatible with the reference
+    at zero runtime cost.
+    """
+    from fitv2_tpu.models.rope import split_permutation
+
+    qkv_keys = [k for k in flat if k.endswith('attn/qkv/kernel')]
+    for kk in qkv_keys:
+        w = flat[kk]  # (in, 3*D) flax layout
+        d_in, d3 = w.shape[-2], w.shape[-1]
+        d = d3 // 3
+        dh = d // num_heads
+        perm = split_permutation(dh)
+
+        def permute_block(block):  # (..., in, D) -> per-head dh permute
+            b = block.reshape(block.shape[:-1] + (num_heads, dh))
+            return b[..., perm].reshape(block.shape)
+
+        q, k_, v = np.split(w, 3, axis=-1)
+        flat[kk] = np.concatenate(
+            [permute_block(q), permute_block(k_), v], axis=-1)
+        bk = kk[:-len('kernel')] + 'bias'
+        if bk in flat:
+            b = flat[bk]
+            qb, kb, vb = np.split(b, 3, axis=-1)
+            def permute_bias(x):
+                return x.reshape(x.shape[:-1] + (num_heads, dh))[
+                    ..., perm].reshape(x.shape)
+            flat[bk] = np.concatenate(
+                [permute_bias(qb), permute_bias(kb), vb], axis=-1)
+        # per-head-dim q/k norm weights (w_layernorm/rmsnorm) share the basis
+        base = kk[:-len('qkv/kernel')]
+        for nk in (base + 'q_norm/weight', base + 'k_norm/weight'):
+            if nk in flat:
+                flat[nk] = flat[nk][..., perm]
+
+
 def convert_fit_state_dict(
     sd: Dict[str, np.ndarray],
     *,
@@ -108,8 +152,15 @@ def convert_fit_state_dict(
     scan_blocks: bool = True,
     ignore_keys: Optional[List[str]] = None,
     strict: bool = True,
+    num_heads: Optional[int] = None,
+    rope_layout: str = 'interleaved',
 ) -> Dict[str, Any]:
-    """Map a reference FiT state dict to this package's flax params tree."""
+    """Map a reference FiT state dict to this package's flax params tree.
+
+    rope_layout='split' (pass num_heads) permutes q/k for the TPU-fast
+    rotation basis — required when loading into a model built with the
+    default rope_layout='split'.
+    """
     sd = dict(_strip_prefixes(sd))
     if ignore_keys:
         pats = [re.compile(p) for p in ignore_keys]
@@ -168,18 +219,26 @@ def convert_fit_state_dict(
     if leftovers and strict:
         raise ValueError(f'unconverted reference keys: {leftovers[:10]}'
                          f'{"..." if len(leftovers) > 10 else ""}')
+
+    if rope_layout == 'split':
+        assert num_heads is not None, (
+            "rope_layout='split' conversion needs num_heads")
+        _split_layout_permute(flat, num_heads)
     return _nest(flat)
 
 
 def init_from_ckpt(path: str, *, depth: int, adaln_type: str = 'normal',
                    scan_blocks: bool = True,
                    ignore_keys: Optional[List[str]] = None,
+                   num_heads: Optional[int] = None,
+                   rope_layout: str = 'interleaved',
                    verbose: bool = True) -> Dict[str, Any]:
     """Reference-API-shaped loader: path -> flax params."""
     sd = load_torch_state_dict(path)
     params = convert_fit_state_dict(
         sd, depth=depth, adaln_type=adaln_type, scan_blocks=scan_blocks,
-        ignore_keys=ignore_keys)
+        ignore_keys=ignore_keys, num_heads=num_heads,
+        rope_layout=rope_layout)
     if verbose:
         n = sum(np.size(v) for v in jax_tree_leaves(params))
         print(f'loaded {path}: {n/1e6:.1f}M params')

@@ -53,7 +53,8 @@ def main(argv=None):
     model = config_to_model(net)
     params = init_from_ckpt(
         args.ckpt, depth=model.depth,
-        adaln_type=model.adaln_type, scan_blocks=model.scan_blocks)
+        adaln_type=model.adaln_type, scan_blocks=model.scan_blocks,
+        num_heads=model.num_heads, rope_layout=model.rope_layout)
 
     vae = vae_params = None
     if args.vae:

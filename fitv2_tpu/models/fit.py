@@ -88,6 +88,10 @@ class FiT(nn.Module):
     attn_impl: str = 'auto'
     scan_blocks: bool = True
     save_attention: bool = False
+    # 'split' avoids the lane-hostile interleaved rotate_half (22% step-time
+    # saving at XL); requires importer-side q/k basis permutation
+    # (convert_fit_state_dict rope_layout) — outputs are bit-compatible.
+    rope_layout: str = 'split'
 
     @property
     def out_channels(self) -> int:
@@ -98,11 +102,14 @@ class FiT(nn.Module):
         return self.hidden_size // self.num_heads
 
     def rope_config(self) -> rope_lib.RopeConfig:
+        layout = ('interleaved' if self.add_rel_pe_to_v
+                  else self.rope_layout)
         return rope_lib.RopeConfig(
             head_dim=self.head_dim, mode=self.custom_freqs, theta=self.rope_theta,
             max_cached_len=self.max_cached_len, max_pe_len_h=self.max_pe_len_h,
             max_pe_len_w=self.max_pe_len_w, decouple=self.decouple,
-            ori_max_pe_len=self.ori_max_pe_len, online=self.online_rope)
+            ori_max_pe_len=self.ori_max_pe_len, online=self.online_rope,
+            layout=layout)
 
     def _rope(self, grid: Array, size: Optional[Array]) -> Tuple[Array, Array]:
         cfg = self.rope_config()
@@ -112,7 +119,7 @@ class FiT(nn.Module):
             assert size is not None, 'online rope needs per-sample size'
             return rope_lib.online_rope_from_grid(cfg, grid, size)
         cache = rope_lib.build_rope_cache(cfg)  # constant-folded under jit
-        return rope_lib.rope_from_grid(cache, grid)
+        return rope_lib.rope_from_grid(cache, grid, cfg.layout)
 
     @nn.compact
     def __call__(self, x: Array, t: Array, y: Array, grid: Array, mask: Array,
@@ -153,7 +160,8 @@ class FiT(nn.Module):
             adaln_type=self.adaln_type, adaln_lora_dim=self.adaln_lora_dim,
             use_rope=self.rel_pos_embed is not None,
             add_rel_pe_to_v=self.add_rel_pe_to_v, dtype=self.dtype,
-            attn_impl=self.attn_impl, save_attention=self.save_attention)
+            attn_impl=self.attn_impl, save_attention=self.save_attention,
+            rope_layout=self.rope_layout)
 
         if self.scan_blocks:
             from flax.core import freeze

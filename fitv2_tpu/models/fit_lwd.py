@@ -131,6 +131,7 @@ class FiTLwD(nn.Module):
     max_cached_len: int = 256
     dtype: Dtype = jnp.float32
     attn_impl: str = 'auto'
+    rope_layout: str = 'split'  # TPU-fast basis (see fitv2_tpu/models/rope.py)
 
     @property
     def out_channels(self) -> int:
@@ -164,7 +165,7 @@ class FiTLwD(nn.Module):
             adaln_type=self.adaln_type, adaln_lora_dim=self.adaln_lora_dim,
             use_rope=self.rel_pos_embed is not None,
             add_rel_pe_to_v=self.add_rel_pe_to_v, dtype=self.dtype,
-            attn_impl=self.attn_impl))
+            attn_impl=self.attn_impl, rope_layout=self.rope_layout))
 
     def setup(self):
         K = self.number_of_perflow
@@ -220,16 +221,19 @@ class FiTLwD(nn.Module):
     def _rope(self, grid: Array, size: Optional[Array]):
         if self.rel_pos_embed is None:
             return None, None
+        layout = ('interleaved' if self.add_rel_pe_to_v
+                  else self.rope_layout)
         cfg = rope_lib.RopeConfig(
             head_dim=self.hidden_size // self.num_heads,
             mode=self.custom_freqs, theta=self.rope_theta,
             max_cached_len=self.max_cached_len,
             max_pe_len_h=self.max_pe_len_h, max_pe_len_w=self.max_pe_len_w,
             decouple=self.decouple, ori_max_pe_len=self.ori_max_pe_len,
-            online=self.online_rope)
+            online=self.online_rope, layout=layout)
         if self.online_rope:
             return rope_lib.online_rope_from_grid(cfg, grid, size)
-        return rope_lib.rope_from_grid(rope_lib.build_rope_cache(cfg), grid)
+        return rope_lib.rope_from_grid(rope_lib.build_rope_cache(cfg), grid,
+                                       layout)
 
     def _time_shift(self, t: Array) -> Array:
         ts = self.time_shifting

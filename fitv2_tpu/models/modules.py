@@ -219,6 +219,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = 'auto'  # 'auto' | 'xla' | 'pallas'
     save_attention: bool = False  # sow probs for viz (reference fit_model.py:302-331)
+    rope_layout: str = 'interleaved'  # 'split' = TPU-fast basis (see rope.py)
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None,
@@ -240,12 +241,16 @@ class Attention(nn.Module):
         k = LayerNorm(_qk_norm_type(self.k_norm), name='k_norm')(k)
 
         if self.use_rope and freqs_cos is not None:
+            # add_rel_pe_to_v changes the value basis, which the split
+            # permutation does not preserve -> force interleaved there
+            layout = ('interleaved' if self.add_rel_pe_to_v
+                      else self.rope_layout)
             cos = freqs_cos[:, :, None, :].astype(q.dtype)  # (B, N, 1, Dh)
             sin = freqs_sin[:, :, None, :].astype(q.dtype)
             if self.add_rel_pe_to_v:
-                v = apply_rope(v, cos, sin)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+                v = apply_rope(v, cos, sin, layout)
+            q = apply_rope(q, cos, sin, layout)
+            k = apply_rope(k, cos, sin, layout)
 
         if self.save_attention:
             # capture softmax probabilities for attention visualization
@@ -322,6 +327,7 @@ class FiTBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = 'auto'
     save_attention: bool = False
+    rope_layout: str = 'interleaved'
 
     @nn.compact
     def __call__(self, x: Array, c: Array, mask: Optional[Array],
@@ -342,6 +348,7 @@ class FiTBlock(nn.Module):
             use_rope=self.use_rope, add_rel_pe_to_v=self.add_rel_pe_to_v,
             dtype=self.dtype, attn_impl=self.attn_impl,
             save_attention=self.save_attention,
+            rope_layout=self.rope_layout,
             name='attn')(h, mask, freqs_cos, freqs_sin)
         x = x + _expand_mod(gate_msa, x) * attn_out
 

@@ -40,7 +40,8 @@ def test_forward_matches_torch_reference(scan_blocks):
     model = _golden_model(scan_blocks)
     params = convert_fit_state_dict(
         _golden_sd(), depth=int(GOLD['depth']), adaln_type='lora',
-        scan_blocks=scan_blocks)
+        scan_blocks=scan_blocks, num_heads=int(GOLD['heads']),
+        rope_layout='split')
     x, t, y, grid, mask = _golden_inputs()
     out = model.apply({'params': params}, x, t, y, grid, mask)
     np.testing.assert_allclose(np.asarray(out), GOLD['out'],
@@ -54,7 +55,9 @@ def test_importer_covers_initialized_params():
     variables = model.init(jax.random.PRNGKey(0), x, t, y, grid, mask)
     init_flat = jax.tree_util.tree_leaves_with_path(variables['params'])
     imported = convert_fit_state_dict(_golden_sd(), depth=int(GOLD['depth']),
-                                      adaln_type='lora', scan_blocks=True)
+                                      adaln_type='lora', scan_blocks=True,
+                                      num_heads=int(GOLD['heads']),
+                                      rope_layout='split')
     imp_flat = jax.tree_util.tree_leaves_with_path(imported)
     init_paths = {jax.tree_util.keystr(p): v.shape for p, v in init_flat}
     imp_paths = {jax.tree_util.keystr(p): v.shape for p, v in imp_flat}
@@ -66,7 +69,9 @@ def test_padded_tokens_do_not_affect_valid_outputs():
     model = _golden_model(True)
     x, t, y, grid, mask = _golden_inputs()
     params = convert_fit_state_dict(_golden_sd(), depth=int(GOLD['depth']),
-                                    adaln_type='lora', scan_blocks=True)
+                                    adaln_type='lora', scan_blocks=True,
+                                    num_heads=int(GOLD['heads']),
+                                    rope_layout='split')
     out1 = model.apply({'params': params}, x, t, y, grid, mask)
     x2 = x.at[:, 24:].set(123.0)  # valid region is the first 24 tokens
     out2 = model.apply({'params': params}, x2, t, y, grid, mask)
@@ -79,7 +84,9 @@ def test_padded_tokens_do_not_affect_valid_outputs():
 def test_forward_with_cfg_halves_agree():
     model = _golden_model(True)
     params = convert_fit_state_dict(_golden_sd(), depth=int(GOLD['depth']),
-                                    adaln_type='lora', scan_blocks=True)
+                                    adaln_type='lora', scan_blocks=True,
+                                    num_heads=int(GOLD['heads']),
+                                    rope_layout='split')
     x, t, y, grid, mask = _golden_inputs()
     x2 = jnp.concatenate([x, x], 0)
     t2 = jnp.concatenate([t, t], 0)

@@ -61,6 +61,40 @@ def test_rotate_half_interleaved_pairs():
     np.testing.assert_allclose(np.asarray(out), expect)
 
 
+def test_split_layout_preserves_attention_scores():
+    """q.k dot products after rotation must be identical between the
+    interleaved (reference) layout and the TPU-fast split layout when q/k
+    live in the permuted basis (the importer's transformation)."""
+    from fitv2_tpu.models.rope import split_permutation
+
+    head_dim = int(GOLD['head_dim'])
+    grid = jnp.asarray(GOLD['grid'])
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((2, grid.shape[-1], 1, head_dim)).astype(
+        np.float32)
+    k = rng.standard_normal((2, grid.shape[-1], 1, head_dim)).astype(
+        np.float32)
+
+    cfg_i = _cfg('ntk-aware', True)
+    cache_i = build_rope_cache(cfg_i)
+    cos_i, sin_i = rope_from_grid(cache_i, grid, 'interleaved')
+    q_i = apply_rope(jnp.asarray(q), cos_i[:, :, None], sin_i[:, :, None])
+    k_i = apply_rope(jnp.asarray(k), cos_i[:, :, None], sin_i[:, :, None])
+    scores_i = np.einsum('bqhd,bkhd->bhqk', np.asarray(q_i), np.asarray(k_i))
+
+    import dataclasses
+    cfg_s = dataclasses.replace(cfg_i, layout='split')
+    cache_s = build_rope_cache(cfg_s)
+    cos_s, sin_s = rope_from_grid(cache_s, grid, 'split')
+    perm = split_permutation(head_dim)
+    q_s = apply_rope(jnp.asarray(q[..., perm]), cos_s[:, :, None],
+                     sin_s[:, :, None], 'split')
+    k_s = apply_rope(jnp.asarray(k[..., perm]), cos_s[:, :, None],
+                     sin_s[:, :, None], 'split')
+    scores_s = np.einsum('bqhd,bkhd->bhqk', np.asarray(q_s), np.asarray(k_s))
+    np.testing.assert_allclose(scores_s, scores_i, rtol=1e-4, atol=1e-4)
+
+
 def test_apply_rope_is_a_rotation_for_normal_mode():
     # rotating q and k by the same angles preserves dot products between
     # tokens at equal relative offsets
