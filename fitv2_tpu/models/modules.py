@@ -51,6 +51,22 @@ def modulate(x: Array, shift: Array, scale: Array) -> Array:
     return x * (1.0 + _expand_mod(scale, x)) + _expand_mod(shift, x)
 
 
+def norm_modulate(x: Array, shift: Array, scale: Array, norm_type: str,
+                  norm_module_fn, eps: float = 1e-6) -> Array:
+    """modulate(norm(x), shift, scale), fused on TPU when possible.
+
+    The plain no-affine LayerNorm + global (B, D) conditioning case — the
+    hot path of every FiT block — dispatches to the Pallas fused kernel
+    (fitv2_tpu/ops/fused_adaln.py); every other combination (weighted norms,
+    per-token conditioning) uses the reference chain via ``norm_module_fn``.
+    """
+    if ((norm_type or 'none') == 'layernorm' and shift.ndim == 2
+            and scale.ndim == 2):
+        from fitv2_tpu.ops.fused_adaln import adaln_norm
+        return adaln_norm(x, shift, scale, eps)
+    return modulate(norm_module_fn(x), shift, scale)
+
+
 def _norm_no_affine(x: Array, eps: float = 1e-6) -> Array:
     """LayerNorm without affine params, computed in fp32 (torch LN parity)."""
     x32 = x.astype(jnp.float32)
@@ -341,7 +357,8 @@ class FiTBlock(nn.Module):
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
 
-        h = modulate(LayerNorm(self.norm_layer, name='norm1')(x), shift_msa, scale_msa)
+        h = norm_modulate(x, shift_msa, scale_msa, self.norm_layer,
+                          LayerNorm(self.norm_layer, name='norm1'))
         attn_out = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias, q_norm=self.q_norm,
             k_norm=self.k_norm, qk_norm_weight=self.qk_norm_weight,
@@ -352,7 +369,8 @@ class FiTBlock(nn.Module):
             name='attn')(h, mask, freqs_cos, freqs_sin)
         x = x + _expand_mod(gate_msa, x) * attn_out
 
-        h = modulate(LayerNorm(self.norm_layer, name='norm2')(x), shift_mlp, scale_mlp)
+        h = norm_modulate(x, shift_mlp, scale_mlp, self.norm_layer,
+                          LayerNorm(self.norm_layer, name='norm2'))
         mlp_hidden = int(D * self.mlp_ratio)
         if self.swiglu:
             hidden = mlp_hidden if self.swiglu_large else (mlp_hidden * 2) // 3
@@ -381,7 +399,8 @@ class FinalLayer(nn.Module):
                               use_bias=self.adaln_bias, dtype=self.dtype,
                               name='adaLN_modulation')(c)
         shift, scale = jnp.split(mod, 2, axis=-1)
-        x = modulate(LayerNorm(self.norm_layer, name='norm_final')(x), shift, scale)
+        x = norm_modulate(x, shift, scale, self.norm_layer,
+                          LayerNorm(self.norm_layer, name='norm_final'))
         # zero-init output projection (reference fit_model.py:156-157)
         return Dense(self.patch_size * self.patch_size * self.out_channels,
                      dtype=self.dtype, kernel_init=zeros, name='linear')(x)
