@@ -1,13 +1,15 @@
 """Perceptual + GAN losses (reference fit/losses/perceptual.py parity)."""
 
 from fitv2_tpu.losses.perceptual import (
-    LPIPS, LPIPSWithDiscriminator2D, NLayerDiscriminator, adopt_weight,
+    LPIPS, LPIPSWithDiscriminator2D, NLayerDiscriminator,
+    NLayerDiscriminator3D, adopt_weight,
     calculate_adaptive_weight, convert_lpips_state_dict, hinge_d_loss,
     vanilla_d_loss,
 )
 
 __all__ = [
     'LPIPS', 'LPIPSWithDiscriminator2D', 'NLayerDiscriminator',
+    'NLayerDiscriminator3D',
     'adopt_weight', 'calculate_adaptive_weight', 'convert_lpips_state_dict',
     'hinge_d_loss', 'vanilla_d_loss',
 ]

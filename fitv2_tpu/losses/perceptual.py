@@ -93,6 +93,38 @@ class NLayerDiscriminator(nn.Module):
                        name='conv_out')(h)
 
 
+class NLayerDiscriminator3D(nn.Module):
+    """3D PatchGAN over (B, T, H, W, C) video clips
+    (reference perceptual.py NLayerDiscriminator3D)."""
+    input_nc: int = 3
+    ndf: int = 64
+    n_layers: int = 3
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        kw, padw = 4, 1
+        h = nn.Conv(self.ndf, (kw, kw, kw), strides=(1, 2, 2),
+                    padding=padw, name='conv0')(x)
+        h = nn.leaky_relu(h, 0.2)
+        for n in range(1, self.n_layers):
+            nf = min(2 ** n, 8)
+            h = nn.Conv(self.ndf * nf, (kw, kw, kw), strides=(1, 2, 2),
+                        padding=padw, use_bias=False, name=f'conv{n}')(h)
+            h = nn.BatchNorm(use_running_average=not train,
+                             axis_name=self.axis_name, name=f'bn{n}')(h)
+            h = nn.leaky_relu(h, 0.2)
+        nf = min(2 ** self.n_layers, 8)
+        h = nn.Conv(self.ndf * nf, (kw, kw, kw), strides=1, padding=padw,
+                    use_bias=False, name=f'conv{self.n_layers}')(h)
+        h = nn.BatchNorm(use_running_average=not train,
+                         axis_name=self.axis_name,
+                         name=f'bn{self.n_layers}')(h)
+        h = nn.leaky_relu(h, 0.2)
+        return nn.Conv(1, (kw, kw, kw), strides=1, padding=padw,
+                       name='conv_out')(h)
+
+
 # ---------------------------------------------------------------------------
 # LPIPS (VGG16 features + linear heads)
 # ---------------------------------------------------------------------------

@@ -63,6 +63,9 @@ class TrainerConfig:
     path_type: str = 'Linear'
     prediction: str = 'velocity'
     snr_type: str = 'lognorm'
+    # 'bf16' = bfloat16 compute with fp32 params/optimizer (the reference's
+    # accelerate mixed_precision='bf16', train_fitv2.py:240-246); 'no' = fp32
+    mixed_precision: str = 'bf16'
     # mesh
     mesh_data: int = -1
     mesh_fsdp: int = 1
@@ -79,6 +82,8 @@ class Trainer:
     def __init__(self, model, config: TrainerConfig,
                  transport: Optional[Transport] = None,
                  loader: Optional[Any] = None):
+        if config.mixed_precision == 'bf16' and model.dtype == jnp.float32:
+            model = model.clone(dtype=jnp.bfloat16)
         self.model = model
         self.cfg = config
         self.transport = transport or create_transport(
