@@ -253,20 +253,34 @@ class Attention(nn.Module):
             if t == 'layernorm' and self.qk_norm_weight:
                 return 'w_layernorm'
             return t
-        q = LayerNorm(_qk_norm_type(self.q_norm), name='q_norm')(q)
-        k = LayerNorm(_qk_norm_type(self.k_norm), name='k_norm')(k)
 
-        if self.use_rope and freqs_cos is not None:
-            # add_rel_pe_to_v changes the value basis, which the split
-            # permutation does not preserve -> force interleaved there
-            layout = ('interleaved' if self.add_rel_pe_to_v
-                      else self.rope_layout)
-            cos = freqs_cos[:, :, None, :].astype(q.dtype)  # (B, N, 1, Dh)
-            sin = freqs_sin[:, :, None, :].astype(q.dtype)
-            if self.add_rel_pe_to_v:
-                v = apply_rope(v, cos, sin, layout)
-            q = apply_rope(q, cos, sin, layout)
-            k = apply_rope(k, cos, sin, layout)
+        # Fused QK-LayerNorm + split-RoPE (the hot FiTv2 configuration):
+        # one VMEM pass instead of materialized LN + rotate intermediates.
+        fuse_qk = (self.use_rope and freqs_cos is not None
+                   and self.rope_layout == 'split'
+                   and not self.add_rel_pe_to_v
+                   and not self.qk_norm_weight
+                   and self.q_norm in (None, 'layernorm')
+                   and self.k_norm in (None, 'layernorm'))
+        if fuse_qk:
+            from fitv2_tpu.ops.fused_qk_rope import qk_norm_rope
+            q, k = qk_norm_rope(q, k, freqs_cos, freqs_sin,
+                                norm_q=self.q_norm == 'layernorm',
+                                norm_k=self.k_norm == 'layernorm')
+        else:
+            q = LayerNorm(_qk_norm_type(self.q_norm), name='q_norm')(q)
+            k = LayerNorm(_qk_norm_type(self.k_norm), name='k_norm')(k)
+            if self.use_rope and freqs_cos is not None:
+                # add_rel_pe_to_v changes the value basis, which the split
+                # permutation does not preserve -> force interleaved there
+                layout = ('interleaved' if self.add_rel_pe_to_v
+                          else self.rope_layout)
+                cos = freqs_cos[:, :, None, :].astype(q.dtype)
+                sin = freqs_sin[:, :, None, :].astype(q.dtype)
+                if self.add_rel_pe_to_v:
+                    v = apply_rope(v, cos, sin, layout)
+                q = apply_rope(q, cos, sin, layout)
+                k = apply_rope(k, cos, sin, layout)
 
         if self.save_attention:
             # capture softmax probabilities for attention visualization
