@@ -256,3 +256,10 @@ class LPIPSWithDiscriminator2D:
         factor = adopt_weight(self.disc_factor, global_step,
                               self.disc_start)
         return factor * fn(logits_real, logits_fake)
+
+
+# The 3D loss facade is identical math over video batches — the per-sample
+# reduction in reconstruction_loss already averages over every non-batch
+# dim, and the discriminator side just consumes NLayerDiscriminator3D
+# logits (reference LPIPSWithDiscriminator3D, perceptual.py).
+LPIPSWithDiscriminator3D = LPIPSWithDiscriminator2D

@@ -54,7 +54,11 @@ class LwDTrainerConfig:
 
 
 class LwDTrainer:
-    def __init__(self, model, config: LwDTrainerConfig):
+    def __init__(self, model, config: LwDTrainerConfig,
+                 teacher_apply=None, distill_solver_steps: int = 8):
+        """teacher_apply(x, t, batch) -> velocity enables teacher-trajectory
+        distillation (reference --distillation): segment targets come from
+        rolling the frozen teacher instead of the data interpolant."""
         self.model = model
         self.cfg = config
         self.mesh = build_mesh(MeshConfig(-1, config.mesh_fsdp,
@@ -66,8 +70,14 @@ class LwDTrainer:
         self.ckpt = CheckpointManager(
             os.path.join(config.output_dir, 'checkpoints'),
             total_limit=config.checkpoints_total_limit)
-        step_fn = make_lwd_train_step(model, self.tx, config.ema_decay,
-                                      config.repa_weight)
+        if teacher_apply is not None:
+            from fitv2_tpu.train.lwd_train_step import make_lwd_distill_step
+            step_fn = make_lwd_distill_step(model, teacher_apply, self.tx,
+                                            distill_solver_steps,
+                                            config.ema_decay)
+        else:
+            step_fn = make_lwd_train_step(model, self.tx, config.ema_decay,
+                                          config.repa_weight)
         # one compiled variant per (static) segment index
         self._jitted = {
             k: jax.jit(lambda s, b, r, k=k: step_fn(s, b, r, k))
