@@ -1,13 +1,14 @@
 """Device mesh, sharding rules, and multihost helpers."""
 
 from fitv2_tpu.parallel.mesh import (
-    MeshConfig, batch_sharding, build_mesh, fit_param_shardings,
-    is_main_process, print0, process_allgather, replicated, shard_params,
-    sync_global_devices,
+    MeshConfig, batch_sharding, build_mesh, constrain_sequence,
+    fit_param_shardings, is_main_process, print0, process_allgather,
+    replicated, sequence_sharding, shard_params, sync_global_devices,
 )
 
 __all__ = [
-    'MeshConfig', 'batch_sharding', 'build_mesh', 'fit_param_shardings',
-    'is_main_process', 'print0', 'process_allgather', 'replicated',
-    'shard_params', 'sync_global_devices',
+    'MeshConfig', 'batch_sharding', 'build_mesh', 'constrain_sequence',
+    'fit_param_shardings', 'is_main_process', 'print0',
+    'process_allgather', 'replicated', 'sequence_sharding', 'shard_params',
+    'sync_global_devices',
 ]

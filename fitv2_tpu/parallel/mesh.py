@@ -31,13 +31,19 @@ Array = jax.Array
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Axis sizes; -1 means 'remaining devices'. Order: (data, fsdp, tensor)."""
+    """Axis sizes; -1 means 'remaining devices'.
+
+    Order: (data, fsdp, sequence, tensor). 'sequence' shards the TOKEN axis
+    of activations (sequence parallelism for the HR/long-token path — XLA
+    inserts the per-layer k/v all-gathers); it goes beyond reference parity
+    (the reference has no SP, SURVEY.md §2.9/§5)."""
     data: int = -1
     fsdp: int = 1
+    sequence: int = 1
     tensor: int = 1
 
-    def resolve(self, n_devices: int) -> Tuple[int, int, int]:
-        sizes = [self.data, self.fsdp, self.tensor]
+    def resolve(self, n_devices: int) -> Tuple[int, int, int, int]:
+        sizes = [self.data, self.fsdp, self.sequence, self.tensor]
         free = [i for i, s in enumerate(sizes) if s == -1]
         fixed = int(np.prod([s for s in sizes if s != -1]))
         assert len(free) <= 1, 'at most one axis may be -1'
@@ -51,17 +57,17 @@ class MeshConfig:
 
 def build_mesh(config: Optional[MeshConfig] = None,
                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (data, fsdp, tensor) mesh over the given devices.
+    """Build a (data, fsdp, sequence, tensor) mesh over the given devices.
 
     Device order follows jax.devices(), which enumerates ICI-contiguous
-    chips first — so the innermost axes (tensor, fsdp) map to ICI neighbors
-    and 'data' (outermost) absorbs DCN hops on multi-slice.
+    chips first — so the innermost axes (tensor, sequence, fsdp) map to ICI
+    neighbors and 'data' (outermost) absorbs DCN hops on multi-slice.
     """
     config = config or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
-    d, f, t = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(d, f, t)
-    return Mesh(dev_array, ('data', 'fsdp', 'tensor'))
+    d, f, sq, t = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(d, f, sq, t)
+    return Mesh(dev_array, ('data', 'fsdp', 'sequence', 'tensor'))
 
 
 # ---------------------------------------------------------------------------
@@ -72,6 +78,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the batch over data AND fsdp axes (ZeRO-style: every chip gets
     a batch shard; fsdp only additionally shards params)."""
     return NamedSharding(mesh, P(('data', 'fsdp')))
+
+
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """(batch, tokens, ...) activations sharded over batch AND token axes —
+    sequence parallelism for long-token (HR) workloads."""
+    return NamedSharding(mesh, P(('data', 'fsdp'), 'sequence'))
+
+
+def constrain_sequence(x, mesh: Mesh):
+    """Apply the SP activation constraint inside jit (no-op on 1-seq mesh)."""
+    if mesh.shape.get('sequence', 1) == 1:
+        return x
+    return jax.lax.with_sharding_constraint(x, sequence_sharding(mesh))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -61,8 +61,8 @@ class LwDTrainer:
         rolling the frozen teacher instead of the data interpolant."""
         self.model = model
         self.cfg = config
-        self.mesh = build_mesh(MeshConfig(-1, config.mesh_fsdp,
-                                          config.mesh_tensor))
+        self.mesh = build_mesh(MeshConfig(
+            data=-1, fsdp=config.mesh_fsdp, tensor=config.mesh_tensor))
         self.tx = make_optimizer(OptimizerConfig(
             learning_rate=config.learning_rate,
             max_grad_norm=config.max_grad_norm,

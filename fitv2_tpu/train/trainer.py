@@ -88,8 +88,9 @@ class Trainer:
         self.cfg = config
         self.transport = transport or create_transport(
             config.path_type, config.prediction, snr_type=config.snr_type)
-        self.mesh = build_mesh(MeshConfig(config.mesh_data, config.mesh_fsdp,
-                                          config.mesh_tensor))
+        self.mesh = build_mesh(MeshConfig(
+            data=config.mesh_data, fsdp=config.mesh_fsdp,
+            tensor=config.mesh_tensor))
         self.loader = loader
         self.ckpt = CheckpointManager(
             os.path.join(config.output_dir, 'checkpoints'),

@@ -148,8 +148,45 @@ def test_sharded_train_step_on_mesh(eight_devices):
     assert np.isfinite(float(metrics['grad_norm']))
 
 
+def test_sequence_parallel_forward(eight_devices):
+    """SP: token axis sharded over the 'sequence' mesh axis. Correctness is
+    validated against the replicated forward; XLA inserts the attention
+    all-gathers automatically from the input shardings."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = build_mesh(MeshConfig(data=2, sequence=4))
+    model = _tiny_model(n_ctx=16)
+    batch = _batch(B=4)
+    params = _init_params(model, batch)
+
+    def fwd(params, feature, label, grid, mask, size):
+        return model.apply({'params': params}, feature, jnp.zeros((4,)),
+                           label, grid, mask, size)
+
+    expect = fwd(params, batch['feature'], batch['label'], batch['grid'],
+                 batch['mask'], batch['size'])
+
+    seq_sh = NamedSharding(mesh, P('data', 'sequence'))
+    seq3_sh = NamedSharding(mesh, P('data', 'sequence', None))
+    grid_sh = NamedSharding(mesh, P('data', None, 'sequence'))
+    rep = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P('data'))
+    jitted = jax.jit(fwd, in_shardings=(
+        rep, seq3_sh, data_sh, grid_sh, seq_sh, rep))
+    args = (jax.device_put(params, rep),
+            jax.device_put(batch['feature'], seq3_sh),
+            jax.device_put(batch['label'], data_sh),
+            jax.device_put(batch['grid'], grid_sh),
+            jax.device_put(batch['mask'], seq_sh),
+            jax.device_put(batch['size'], rep))
+    out = jitted(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_mesh_config_resolve():
-    assert MeshConfig(data=-1, fsdp=2, tensor=2).resolve(8) == (2, 2, 2)
-    assert MeshConfig().resolve(8) == (8, 1, 1)
+    assert MeshConfig(data=-1, fsdp=2, tensor=2).resolve(8) == (2, 2, 1, 2)
+    assert MeshConfig().resolve(8) == (8, 1, 1, 1)
+    assert MeshConfig(data=2, sequence=4).resolve(8) == (2, 1, 4, 1)
     with pytest.raises(AssertionError):
         MeshConfig(data=3, fsdp=3, tensor=1).resolve(8)
