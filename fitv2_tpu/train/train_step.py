@@ -121,3 +121,22 @@ def scale_lr_by_global_batch(base_lr: float, global_batch_size: int,
                              base_batch_size: int = 256) -> float:
     """Linear LR scaling (reference train_fitv2.py:276-284)."""
     return base_lr * global_batch_size / base_batch_size
+
+
+def make_grouped_optimizer(params, group_fn: Callable,
+                           group_txs: Dict[str, optax.GradientTransformation]
+                           ) -> optax.GradientTransformation:
+    """Per-group optimizer (reference fit/utils/utils.py:175-265 per-group
+    lr helper): ``group_fn(path_str, leaf) -> label`` assigns each param to
+    a transformation in ``group_txs`` via optax.multi_transform."""
+    import jax as _jax
+
+    def label_tree(p):
+        def label(path_tuple, leaf):
+            path = '/'.join(str(getattr(k, 'key', k)) for k in path_tuple)
+            lbl = group_fn(path, leaf)
+            assert lbl in group_txs, (lbl, list(group_txs))
+            return lbl
+        return _jax.tree_util.tree_map_with_path(label, p)
+
+    return optax.multi_transform(group_txs, label_tree)
