@@ -53,6 +53,33 @@ def test_euler_step_deterministic():
     np.testing.assert_allclose(np.asarray(out), 1.0 + 0.1 * 2.0, rtol=1e-6)
 
 
+def test_euler_step_stochastic():
+    import jax
+    x = jnp.zeros((2, 4))
+    v = jnp.ones((2, 4))
+    out = euler_step(x, v, jnp.float32(0.3), jnp.float32(0.4),
+                     stochastic=True, rng=jax.random.PRNGKey(0))
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic given the key
+    out2 = euler_step(x, v, jnp.float32(0.3), jnp.float32(0.4),
+                      stochastic=True, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_calculate_shift_and_time_shift():
+    from fitv2_tpu.sched import calculate_shift, time_shift
+    mu_base = calculate_shift(256)
+    mu_max = calculate_shift(4096)
+    np.testing.assert_allclose(mu_base, 0.5, rtol=1e-6)
+    np.testing.assert_allclose(mu_max, 1.15, rtol=1e-6)
+    # time_shift(0-mu) is identity-like at mu=0: exp(0)/(exp(0)+(1/t-1))
+    t = np.array([0.25, 0.5, 0.75])
+    np.testing.assert_allclose(time_shift(0.0, 1.0, t), t, rtol=1e-6)
+    # positive mu pushes sigmas toward 1
+    assert (time_shift(1.0, 1.0, t) > t).all()
+
+
 def test_linear_sigmas():
     s = linear_sigmas(250)
     assert s.shape == (251,)
