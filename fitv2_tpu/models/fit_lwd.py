@@ -329,13 +329,20 @@ class FiTLwD(nn.Module):
             return np.concatenate([lst, [1.0]])
         return np.linspace(sig[i], sig[i + 1], nspf + 1)
 
-    def sample(self, x: Array, y: Array, number_of_step_perflow: int = 1
-               ) -> Array:
-        """Sequential per-segment Euler (reference forward, :285-357)."""
+    def sample(self, x: Array, y: Array, number_of_step_perflow: int = 1,
+               return_intermediates: bool = False,
+               return_representations: bool = False):
+        """Sequential per-segment Euler (reference forward, :285-357).
+
+        return_intermediates: also return the per-segment states (the
+        reference's forward_wo_cfg_int variant). return_representations:
+        also return each segment's REPA projection tokens (forward_*_repre
+        variants; requires representation blocks)."""
         B = x.shape[0]
         grid, mask, size = make_grid_mask_size(
             B, self.n_patch_h, self.n_patch_w, self.context_size)
         f_cos, f_sin = self._rope(grid, size)
+        intermediates, representations = [], []
         for i in range(self.number_of_perflow):
             y_embed = self._emb(self.y_embedders, i)(y)
             sig = self._segment_sigma_list(i, number_of_step_perflow)
@@ -343,8 +350,22 @@ class FiTLwD(nn.Module):
                 t = jnp.full((B,), sig[s], jnp.float32)
                 t_nx = jnp.full((B,), sig[s + 1], jnp.float32)
                 c, g = self._cond(i, t, y_embed)
+                if (return_representations
+                        and self.rep_layers_per_flow > 0 and s == 0):
+                    representations.append(self._rep_forward(
+                        i, x, c, mask, f_cos, f_sin, g))
                 v = self._segment_body(i, x, c, mask, f_cos, f_sin, g, t_nx)
                 x = x + (sig[s + 1] - sig[s]) * v.astype(x.dtype)
+            if return_intermediates:
+                intermediates.append(x)
+        if return_intermediates or return_representations:
+            out = (x,)
+            if return_intermediates:
+                out += (jnp.stack(intermediates),)
+            if return_representations:
+                out += (jnp.stack(representations)
+                        if representations else None,)
+            return out
         return x
 
     def sample_cfg(self, x: Array, y: Array, cfg_scale: float,

@@ -289,6 +289,16 @@ def rope_from_grid(cache, grid: Array,
     return cos, sin
 
 
+def rope_21d_from_grid(cache, grid: Array,
+                       layout: str = 'interleaved') -> Tuple[Array, Array]:
+    """2+1D RoPE for video tokens (reference rope.py:335-361 'formulation
+    2'): the time index offsets both spatial indices before the 2D table
+    lookup. grid: (B, 3, N) with (w, h, t) rows."""
+    shifted = jnp.stack([grid[:, 0] + grid[:, 2],
+                         grid[:, 1] + grid[:, 2]], axis=1)
+    return rope_from_grid(cache, shifted, layout)
+
+
 def online_rope_from_grid(cfg: RopeConfig, grid: Array, size: Array
                           ) -> Tuple[Array, Array]:
     """Per-sample frequency recomputation (reference rope.py:234-274).

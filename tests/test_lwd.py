@@ -160,3 +160,16 @@ def test_get_segment_index():
     assert model.get_segment_index(0.49) == 0
     assert model.get_segment_index(0.51) == 1
     assert model.get_segment_index(1.0) == 1
+
+
+def test_sample_intermediates_and_representations():
+    """forward_wo_cfg_int/_repre parity: per-segment states + REPA tokens."""
+    model = _model(number_of_representation_blocks=2, repa_dim=16)
+    params, (x, t, y, grid, mask, size) = _init(model)
+    out, inter, reps = model.apply(
+        {'params': params}, x, y, 1, True, True, method=model.sample)
+    assert out.shape == x.shape
+    assert inter.shape == (2,) + x.shape          # K=2 segment states
+    assert reps.shape == (2, 2, 16, 16)           # (K, B, N, repa_dim)
+    np.testing.assert_allclose(np.asarray(inter[-1]), np.asarray(out),
+                               rtol=1e-6)

@@ -110,3 +110,24 @@ def test_apply_rope_is_a_rotation_for_normal_mode():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(q_rot), axis=-1),
         np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-5)
+
+
+def test_rope_21d_time_offset():
+    """2+1D video rope: time index shifts both spatial lookups
+    (reference rope.py:335-361)."""
+    from fitv2_tpu.models.rope import rope_21d_from_grid
+    cfg = _cfg('normal', False)
+    cache = build_rope_cache(cfg)
+    # 2x2 spatial grid at t=0 and t=1
+    g2 = np.array([[0, 1, 0, 1], [0, 0, 1, 1]])
+    grid3 = np.concatenate([
+        np.concatenate([g2, np.zeros((1, 4))], 0),
+        np.concatenate([g2, np.ones((1, 4))], 0)], axis=1)[None]
+    cos, sin = rope_21d_from_grid(cache, jnp.asarray(grid3, jnp.int32))
+    # t=1 tokens must equal the 2D lookup of the (+1,+1)-shifted grid
+    shifted = jnp.asarray(g2 + 1, jnp.int32)[None]
+    cos2, sin2 = rope_from_grid(cache, shifted)
+    np.testing.assert_allclose(np.asarray(cos[:, 4:]), np.asarray(cos2),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin[:, 4:]), np.asarray(sin2),
+                               rtol=1e-6)
