@@ -45,10 +45,16 @@ def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
 
 class CheckpointManager:
     def __init__(self, ckpt_dir: str, total_limit: Optional[int] = None,
-                 milestone_steps: Sequence[int] = ()):
+                 milestone_steps: Sequence[int] = (),
+                 async_save: bool = False):
+        """async_save=True overlaps the checkpoint write with training
+        (orbax StandardCheckpointer's async path); rotation then happens on
+        the NEXT save or an explicit wait() — beyond reference parity (the
+        reference's accelerate.save_state blocks)."""
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         self.total_limit = total_limit
         self.milestones = set(milestone_steps)
+        self.async_save = async_save
         os.makedirs(self.ckpt_dir, exist_ok=True)
         import orbax.checkpoint as ocp
         self._ckptr = ocp.StandardCheckpointer()
@@ -58,10 +64,22 @@ class CheckpointManager:
 
     def save(self, step: int, state) -> str:
         path = self._path(step)
-        self._ckptr.save(path, state, force=True)
+        if not self.async_save:
+            self._ckptr.save(path, state, force=True)
+            self._ckptr.wait_until_finished()
+            self._rotate()
+            return path
+        # async: finish any in-flight write first, rotate what is durable,
+        # then launch this save without blocking
         self._ckptr.wait_until_finished()
         self._rotate()
+        self._ckptr.save(path, state, force=True)
         return path
+
+    def wait(self) -> None:
+        """Block until any in-flight async save is durable, then rotate."""
+        self._ckptr.wait_until_finished()
+        self._rotate()
 
     def _rotate(self) -> None:
         if self.total_limit is None:

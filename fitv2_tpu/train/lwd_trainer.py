@@ -51,6 +51,8 @@ class LwDTrainerConfig:
     log_every: int = 100
     mesh_fsdp: int = 1
     mesh_tensor: int = 1
+    # overlap checkpoint writes with training (see TrainerConfig)
+    async_checkpointing: bool = False
 
 
 class LwDTrainer:
@@ -69,7 +71,8 @@ class LwDTrainer:
             weight_decay=config.weight_decay))
         self.ckpt = CheckpointManager(
             os.path.join(config.output_dir, 'checkpoints'),
-            total_limit=config.checkpoints_total_limit)
+            total_limit=config.checkpoints_total_limit,
+            async_save=config.async_checkpointing)
         if teacher_apply is not None:
             from fitv2_tpu.train.lwd_train_step import make_lwd_distill_step
             step_fn = make_lwd_distill_step(model, teacher_apply, self.tx,
@@ -139,4 +142,6 @@ class LwDTrainer:
                                    jax.tree_util.tree_map(np.asarray, state))
             if step >= max_steps:
                 break
+        if self.cfg.async_checkpointing and is_main_process():
+            self.ckpt.wait()
         return state

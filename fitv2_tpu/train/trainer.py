@@ -75,6 +75,10 @@ class TrainerConfig:
     checkpointing_steps: int = 4000
     checkpoints_total_limit: Optional[int] = 4
     milestone_steps: tuple = ()
+    # overlap the checkpoint disk write with training (beyond reference
+    # parity; accelerate.save_state blocks). The device->host gather still
+    # happens inline; only the serialisation/write is deferred.
+    async_checkpointing: bool = False
     log_every: int = 100
 
 
@@ -95,7 +99,8 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(config.output_dir, 'checkpoints'),
             total_limit=config.checkpoints_total_limit,
-            milestone_steps=config.milestone_steps)
+            milestone_steps=config.milestone_steps,
+            async_save=config.async_checkpointing)
 
         lr = config.learning_rate
         if config.scale_lr:  # reference train_fitv2.py:276-284
@@ -200,4 +205,6 @@ class Trainer:
                     self.ckpt.save(step, host_state)
             if step >= max_steps:
                 break
+        if self.cfg.async_checkpointing and is_main_process():
+            self.ckpt.wait()
         return state

@@ -42,6 +42,19 @@ def test_rotation_and_milestones(tmp_path):
     assert latest_checkpoint_step(d) == 40
 
 
+def test_async_save_rotation_and_wait(tmp_path):
+    d = str(tmp_path / 'ckpts')
+    mgr = CheckpointManager(d, total_limit=2, async_save=True)
+    for s in (10, 20, 30):
+        mgr.save(s, _state(float(s)))
+    mgr.wait()  # last write durable + final rotation
+    assert list_checkpoints(d) == [20, 30]
+    template = jax.tree_util.tree_map(np.zeros_like, _state(0.0))
+    restored, step = mgr.restore(template)
+    assert step == 30
+    np.testing.assert_allclose(np.asarray(restored['params']['w']), 30.0)
+
+
 def test_restore_missing_returns_none(tmp_path):
     mgr = CheckpointManager(str(tmp_path / 'empty'))
     restored, step = mgr.restore(_state(0.0))
