@@ -59,6 +59,8 @@ def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
     n = q.shape[1]
     # measured on v5e (B=8, H=16, Dh=72, bf16): pallas 2.15 ms vs XLA
     # 2.74 ms at N=1024; XLA wins at N=256 where tiling pads dominate
+    # (a single-VMEM-block kernel also loses at N=256: 909 vs 750 us/call,
+    # see ops/block_attention.py — Dh=72 defeats lane alignment both ways)
     on_tpu = jax.default_backend() not in ('cpu',)
     if impl == 'pallas' or (impl == 'auto' and on_tpu and n >= 1024
                             and mask is not None):

@@ -28,29 +28,34 @@ Array = jax.Array
 
 def _kernel(q_ref, k_ref, cos_ref, sin_ref, oq_ref, ok_ref, *,
             eps: float, norm_q: bool, norm_k: bool):
-    """q/k: (BN_tile, Dh); cos/sin: (BN_tile, Dh). Split-layout rotation."""
-    cos = cos_ref[:].astype(jnp.float32)
-    sin = sin_ref[:].astype(jnp.float32)
+    """q/k: (BN_tile, H, Dh); cos/sin: (BN_tile, Dh). Split-layout rotation.
+
+    Matches the _reference dtype discipline exactly: LN statistics in fp32,
+    cast back to the input dtype, rotation in the input dtype.
+    """
+    cos = cos_ref[:][:, None, :].astype(oq_ref.dtype)
+    sin = sin_ref[:][:, None, :].astype(oq_ref.dtype)
     d = q_ref.shape[-1] // 2
 
     def ln(x):
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        xc = x - mean
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mean
         var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-        return xc * jax.lax.rsqrt(var + eps)
+        return (xc * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
     def rot(x):
-        return jnp.concatenate([-x[:, d:], x[:, :d]], axis=-1)
+        return jnp.concatenate([-x[..., d:], x[..., :d]], axis=-1)
 
-    q = q_ref[:].astype(jnp.float32)
+    q = q_ref[:]
     if norm_q:
         q = ln(q)
-    oq_ref[:] = (q * cos + rot(q) * sin).astype(oq_ref.dtype)
+    oq_ref[:] = q * cos + rot(q) * sin
 
-    k = k_ref[:].astype(jnp.float32)
+    k = k_ref[:]
     if norm_k:
         k = ln(k)
-    ok_ref[:] = (k * cos + rot(k) * sin).astype(ok_ref.dtype)
+    ok_ref[:] = k * cos + rot(k) * sin
 
 
 def _forward(q: Array, k: Array, cos: Array, sin: Array, eps: float,
@@ -58,32 +63,30 @@ def _forward(q: Array, k: Array, cos: Array, sin: Array, eps: float,
              ) -> Tuple[Array, Array]:
     """q, k: (B, N, H, Dh); cos/sin: (B, N, Dh) split-layout tables.
 
-    Internally transposes to (B, H, N, Dh): TPU block shapes require the
-    last two dims to tile cleanly, which a squeezed middle head dim would
-    violate. The transposes fuse into the surrounding attention permutes.
-    """
+    Runs natively in (B, N, H, Dh) layout — blocks (block_n, H, Dh) are
+    legal because the trailing dims equal the full array dims, and no
+    transposes are needed on either side (an earlier head-major variant
+    paid relayout copies that outweighed the fusion)."""
     b, n, h, dh = q.shape
     block_n = min(block_n, n)
     assert n % block_n == 0
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    grid = (b, h, n // block_n)
+    grid = (b, n // block_n)
     kern = functools.partial(_kernel, eps=eps, norm_q=norm_q, norm_k=norm_k)
-    qk_spec = pl.BlockSpec((None, None, block_n, dh),
-                           lambda ib, ih, it: (ib, ih, it, 0),
+    qk_spec = pl.BlockSpec((None, block_n, h, dh),
+                           lambda ib, it: (ib, it, 0, 0),
                            memory_space=pltpu.VMEM)
     cs_spec = pl.BlockSpec((None, block_n, dh),
-                           lambda ib, ih, it: (ib, it, 0),
+                           lambda ib, it: (ib, it, 0),
                            memory_space=pltpu.VMEM)
     oq, ok = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[qk_spec, qk_spec, cs_spec, cs_spec],
         out_specs=(qk_spec, qk_spec),
-        out_shape=(jax.ShapeDtypeStruct(qt.shape, q.dtype),
-                   jax.ShapeDtypeStruct(kt.shape, k.dtype)),
-    )(qt, kt, cos, sin)
-    return oq.transpose(0, 2, 1, 3), ok.transpose(0, 2, 1, 3)
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype)),
+    )(q, k, cos, sin)
+    return oq, ok
 
 
 def _reference(q, k, cos, sin, eps, norm_q, norm_k):
@@ -144,11 +147,13 @@ def qk_norm_rope(q: Array, k: Array, cos: Array, sin: Array,
                  eps: float = 1e-6, norm_q: bool = True,
                  norm_k: bool = True, impl: str = 'auto'
                  ) -> Tuple[Array, Array]:
-    """Dispatcher. MEASURED on v5e (FiTv2-XL sampler): the Pallas kernel's
-    (B,N,H,D)<->(B,H,N,D) transposes cost more than the fusion saves
-    (0.928 -> 0.824 img/s end to end) — XLA already fuses this chain well.
-    'auto' therefore uses the XLA reference path; pass impl='pallas' to
-    opt in (e.g. for head-major layouts where the transposes vanish)."""
+    """Dispatcher. MEASURED on v5e (FiTv2-XL sampler, 12-step scan): XLA
+    reference 36.1 ms/step; Pallas in head-major (B,H,N,Dh) layout 42 ms
+    (relayout transposes); Pallas natively in (B,N,H,Dh) 45.6 ms (Dh=72
+    pads to 128 lanes, so every VPU op wastes 44% of the vector width and
+    the H=16 sublane dim underfills tiles). XLA's unfused chain wins on
+    this geometry — 'auto' uses it; impl='pallas' opts into the kernel
+    (useful for lane-aligned head dims)."""
     block_n = _pick_block_n(q.shape[1])
     if impl == 'pallas' and q.shape[-1] % 2 == 0 and block_n is not None:
         try:
