@@ -51,3 +51,34 @@ def batched(indices: np.ndarray, batch_size: int) -> Iterator[List[int]]:
     n = len(indices) // batch_size
     for i in range(n):
         yield indices[i * batch_size:(i + 1) * batch_size].tolist()
+
+
+def infinite_sampler(dataset_len: int, process_index: int = 0,
+                     process_count: int = 1, shuffle: bool = True,
+                     seed: int = 0, window_size: float = 0.5
+                     ) -> Iterator[int]:
+    """Endless per-process index stream with windowed reshuffling.
+
+    Equivalent of the reference's dnnlib ``InfiniteSampler``
+    (/root/reference/torch_utils/misc.py:110-139, GAN/CIFAR loops): a fixed
+    permutation is walked round-robin across processes forever; at each
+    visit the current index is swapped with a random one inside a sliding
+    window of ``window_size * dataset_len``, giving cheap continuous
+    shuffling without epoch boundaries. Deterministic per (seed, process).
+    """
+    assert dataset_len > 0 and 0 <= window_size <= 1
+    order = np.arange(dataset_len)
+    window = 0
+    if shuffle:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        rng.shuffle(order)
+        window = int(np.rint(dataset_len * window_size))
+    idx = 0
+    while True:
+        i = idx % dataset_len
+        if idx % process_count == process_index:
+            yield int(order[i])
+        if window >= 2:
+            j = (i - rng.integers(window)) % dataset_len
+            order[i], order[j] = order[j], order[i]
+        idx += 1

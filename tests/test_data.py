@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from fitv2_tpu.data import (
-    IN1kLatentDataset, INLatentLoader, get_train_sampler,
+    IN1kLatentDataset, INLatentLoader, get_train_sampler, infinite_sampler,
     make_synthetic_latent_shards, shard_indices,
 )
 
@@ -30,6 +30,28 @@ def test_sampler_epoch_permutations_cover_dataset():
     # first epoch (10 samples) is a permutation of range(10)
     assert sorted(s[:10].tolist()) == list(range(10))
     assert sorted(s[10:20].tolist()) == list(range(10))
+
+
+def test_infinite_sampler_coverage_and_sharding():
+    import itertools
+    n = 20
+    s = list(itertools.islice(infinite_sampler(n, seed=3), 10 * n))
+    # endless, in range, every element visited with roughly equal frequency
+    assert all(0 <= i < n for i in s)
+    counts = np.bincount(s, minlength=n)
+    assert counts.min() >= 1
+    # deterministic per seed
+    s2 = list(itertools.islice(infinite_sampler(n, seed=3), 10 * n))
+    assert s == s2
+    # round-robin sharding: two processes see disjoint walk positions
+    a = list(itertools.islice(
+        infinite_sampler(n, process_index=0, process_count=2, seed=5), 50))
+    b = list(itertools.islice(
+        infinite_sampler(n, process_index=1, process_count=2, seed=5), 50))
+    assert a != b
+    # shuffle=False walks the identity order
+    plain = list(itertools.islice(infinite_sampler(5, shuffle=False), 10))
+    assert plain == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
 
 
 def test_shard_indices_partition():
