@@ -25,13 +25,22 @@ def make_ddpm_train_step(model, diffusion: GaussianDiffusion,
                          tx: optax.GradientTransformation,
                          ema_decay: float = 0.9999) -> Callable:
     """batch: feature (B,N,C_tok), grid, mask, label, size. The model is a
-    FiT with learn_sigma=True (2C output channels for LEARNED_RANGE)."""
+    FiT with learn_sigma=True (2C output channels for LEARNED_RANGE).
+
+    Importance sampling (reference schedule_sampler, train_fit.py): pass
+    host-sampled ``t`` (B,) int32 and ``t_weight`` (B,) float in the batch
+    (from sched.timestep_sampler.LossSecondMomentResampler.sample) and the
+    step uses them — the returned ``per_t_loss`` (B,) feeds
+    update_with_all_losses. Absent those keys, t is uniform in-step."""
 
     def loss_fn(params, batch, rng):
         k_t, k_noise, k_drop = jax.random.split(rng, 3)
         x = batch['feature']
-        t = jax.random.randint(k_t, (x.shape[0],), 0,
-                               diffusion.num_timesteps)
+        if 't' in batch:
+            t = batch['t'].astype(jnp.int32)
+        else:
+            t = jax.random.randint(k_t, (x.shape[0],), 0,
+                                   diffusion.num_timesteps)
 
         def model_fn(xt, t_int):
             return model.apply(
@@ -42,7 +51,11 @@ def make_ddpm_train_step(model, diffusion: GaussianDiffusion,
 
         terms = diffusion.training_losses(k_noise, model_fn, x, t,
                                           mask=batch['mask'])
-        return jnp.mean(terms['loss']), terms
+        per_t = terms['loss']
+        if 't_weight' in batch:
+            per_t = per_t * batch['t_weight']
+        terms = dict(terms, per_t_loss=terms['loss'], t=t)
+        return jnp.mean(per_t), terms
 
     def train_step(state: TrainState, batch: Dict[str, Array], rng: Array
                    ) -> Tuple[TrainState, Dict[str, Array]]:
@@ -57,7 +70,8 @@ def make_ddpm_train_step(model, diffusion: GaussianDiffusion,
             ema_params=update_ema(state.ema_params, new_params, ema_decay),
             opt_state=new_opt)
         metrics = {'loss': loss, 'grad_norm': grad_norm,
-                   'mse': jnp.mean(terms.get('mse', loss))}
+                   'mse': jnp.mean(terms.get('mse', loss)),
+                   'per_t_loss': terms['per_t_loss'], 't': terms['t']}
         return new_state, metrics
 
     return train_step
