@@ -29,6 +29,7 @@ from flax import linen as nn
 from fitv2_tpu.models.fit_lwd import BlockStack, FiTLwD, ProjectionHead
 from fitv2_tpu.models.grid_utils import make_grid_mask_size
 from fitv2_tpu.models.modules import AdaLNModulation, PatchEmbedder
+from fitv2_tpu.models.modules_lwd import SRN, TimestepDependentCoefficient
 
 Array = jax.Array
 
@@ -36,7 +37,8 @@ Array = jax.Array
 class FiTLwDSharedEncSepDec(FiTLwD):
     """Adds the shared representation encoder + per-token conditioning."""
     number_of_representation_blocks: int = 4  # shared trunk length
-    self_guidance_scale: float = 1.05         # (:1370-1374)
+    number_of_mid_blocks: int = 1             # rep forecaster depth (:163-171)
+    self_guidance_scale: float = 1.1          # rep extrapolation (:1370-1374)
 
     @property
     def rep_layers_per_flow(self) -> int:
@@ -55,6 +57,15 @@ class FiTLwDSharedEncSepDec(FiTLwD):
             self.global_adaLN_modulation2 = AdaLNModulation(
                 self.hidden_size, 6, adaln_type='normal',
                 use_bias=self.adaln_bias, dtype=self.dtype)
+        # mid-block representation forecaster (finetune stage; reference
+        # fit_model_lwd_bk.py:800-1084 mid_block + coefficient_layers)
+        self.mid_blocks = BlockStack(self.number_of_mid_blocks,
+                                     self._block_kwargs())
+        self.mid_coefficient = TimestepDependentCoefficient(
+            self.hidden_size, dtype=self.dtype)
+        self.mid_gate = SRN(self.hidden_size, self.patch_size,
+                            self.hidden_size, adaln_bias=self.adaln_bias,
+                            dtype=self.dtype)
 
     # -- shared encoder -------------------------------------------------------
 
@@ -96,23 +107,57 @@ class FiTLwDSharedEncSepDec(FiTLwD):
         for i in range(self.number_of_perflow):
             out, _ = self.forward_run_layer(x, t, y, i, grid, mask, size,
                                             train=True)
+        # touch the mid-block forecaster so its params materialize at init
+        for mode in ('replace', 'residual', 'blend'):
+            self.forward_run_layer_finetune(x, t, y, 0, grid, mask,
+                                            t_next=t, xt_next=x, size=size,
+                                            mode=mode)
         return out
 
     __call__ = init_all
 
-    def _segment_velocity(self, i: int, x2: Array, t: Array, y2: Array,
-                          mask, f_cos, f_sin) -> Array:
-        """One doubled-batch velocity eval with per-token conditioning."""
+    def _segment_forward(self, i: int, x2: Array, t: Array, y2: Array,
+                         mask, f_cos, f_sin, rep_transform=None
+                         ) -> Tuple[Array, Array, Array]:
+        """One velocity eval with per-token conditioning.
+
+        Returns (velocity, encoder representation, pre-final hidden) — the
+        latter two back the reference's _pca/_repre sampler variants.
+        ``rep_transform`` hooks the representation before conditioning
+        (self-guidance extrapolation, :1366-1374)."""
         y_embed = self._emb(self.y_embedders, i)(y2)
         c, g = self._cond(i, t, y_embed)
         t_emb = self._emb(self.t_embedders, i)(
             self._time_shift(t).astype(self.dtype))
         rep = self._encode_representation(x2, c, mask, f_cos, f_sin, g)
+        if rep_transform is not None:
+            rep = rep_transform(rep)
         c_repre, g2 = self._token_cond(t_emb, rep)
         h = self._emb(self.x_embedders, i)(x2.astype(self.dtype))
         h = self.segments[i](h, c_repre, mask, f_cos, f_sin, g2)
         out = self._emb(self.final_layers, i)(h, c_repre)
-        return out * mask.astype(out.dtype)[..., None]
+        return out * mask.astype(out.dtype)[..., None], rep, h
+
+    def _segment_velocity(self, i: int, x2: Array, t: Array, y2: Array,
+                          mask, f_cos, f_sin, rep_transform=None) -> Array:
+        return self._segment_forward(i, x2, t, y2, mask, f_cos, f_sin,
+                                     rep_transform)[0]
+
+    def _self_guidance_transform(self, t_cur: float, cfg_scale: float,
+                                 guidance_low: float, guidance_high: float,
+                                 self_guidance: bool):
+        """Representation extrapolation cond-vs-null inside the guidance
+        window (reference :1366-1374, scale 1.1)."""
+        if not (self_guidance and cfg_scale > 1.0
+                and guidance_low <= t_cur <= guidance_high):
+            return None
+
+        def transform(rep):
+            r_cond, r_null = jnp.split(rep, 2, axis=0)
+            r_guided = r_null + self.self_guidance_scale * (r_cond - r_null)
+            return jnp.concatenate([r_guided, r_null], axis=0)
+
+        return transform
 
     # -- samplers ---------------------------------------------------------------
 
@@ -142,11 +187,222 @@ class FiTLwDSharedEncSepDec(FiTLwD):
                 x = x + (sig[s + 1] - sig[s]) * v
         return x
 
+    def sample(self, x: Array, y: Array, number_of_step_perflow: int = 1,
+               return_intermediates: bool = False,
+               return_representations: bool = False,
+               return_semantics: bool = False,
+               return_hidden: bool = False):
+        """Per-segment Euler without CFG — the forward_wo_cfg family.
+
+        Flags map to the reference sampler zoo (fit_model_lwd_bk.py):
+          return_intermediates  -> forward_wo_cfg_int (:434) x after each
+                                   sub-step
+          return_representations-> forward_wo_cfg_repre (:534) projected
+                                   encoder reps
+          return_semantics      -> forward_wo_cfg_pca semantic_list (:403)
+                                   raw encoder reps
+          return_hidden         -> forward_wo_cfg_pca pca_list (:425)
+                                   pre-final-layer hidden states
+        Returns x, or (x, dict of requested lists).
+        """
+        B = x.shape[0]
+        grid, mask, size = make_grid_mask_size(
+            B, self.n_patch_h, self.n_patch_w, self.context_size)
+        f_cos, f_sin = self._rope(grid, size)
+        aux = {k: [] for k, on in [
+            ('intermediates', return_intermediates),
+            ('representations', return_representations),
+            ('semantics', return_semantics),
+            ('hidden', return_hidden)] if on}
+        for i in range(self.number_of_perflow):
+            sig = self._segment_sigma_list(i, number_of_step_perflow)
+            for s in range(number_of_step_perflow):
+                t = jnp.full((B,), float(sig[s]), jnp.float32)
+                v, rep, h = self._segment_forward(i, x, t, y, mask, f_cos,
+                                                  f_sin)
+                x = x + (sig[s + 1] - sig[s]) * v.astype(x.dtype)
+                if 'intermediates' in aux:
+                    aux['intermediates'].append(x)
+                if 'representations' in aux:
+                    aux['representations'].append(self.rep_projection(rep))
+                if 'semantics' in aux:
+                    aux['semantics'].append(rep)
+                if 'hidden' in aux:
+                    aux['hidden'].append(h)
+        return (x, aux) if aux else x
+
+    def sample_maruyama(self, rng: Array, x: Array, y: Array,
+                        number_of_step_perflow: int = 1,
+                        return_intermediates: bool = False):
+        """Per-segment Euler–Maruyama without CFG (forward_maruyama :1191;
+        return_intermediates -> forward_maruyama_int :1562)."""
+        B = x.shape[0]
+        grid, mask, size = make_grid_mask_size(
+            B, self.n_patch_h, self.n_patch_w, self.context_size)
+        f_cos, f_sin = self._rope(grid, size)
+        K = self.number_of_perflow
+        inter = []
+        for i in range(K):
+            sig = self._segment_sigma_list(i, number_of_step_perflow,
+                                           maruyama_last=True)
+            nsub = len(sig) - 1
+            for s in range(nsub):
+                t_cur = float(sig[s])
+                dt = float(sig[s + 1] - sig[s])
+                t = jnp.full((B,), t_cur, jnp.float32)
+                v = self._segment_velocity(i, x, t, y, mask, f_cos,
+                                           f_sin).astype(jnp.float32)
+                x32 = x.astype(jnp.float32)
+                diffusion = 1.0 - t_cur
+                score = (t_cur * v - x32) / max(1.0 - t_cur, 1e-4)
+                x_next = x32 + (v + 0.5 * diffusion * score) * dt
+                if not (i == K - 1 and s == nsub - 1):
+                    rng, k = jax.random.split(rng)
+                    w = jax.random.normal(k, x.shape, jnp.float32)
+                    x_next = x_next + np.sqrt(max(diffusion, 0.0)) \
+                        * np.sqrt(abs(dt)) * w
+                x = x_next.astype(x.dtype)
+                if return_intermediates:
+                    inter.append(x)
+        return (x, inter) if return_intermediates else x
+
+    def sample_maruyama_global_cfg(self, rng: Array, x: Array, y: Array,
+                                   cfg_scale: float, num_steps: int = 250,
+                                   guidance_low: float = 0.0,
+                                   guidance_high: float = 1.0,
+                                   self_guidance: bool = False,
+                                   t_end: float = 0.96) -> Array:
+        """Global-grid Euler–Maruyama CFG (forward_maruyama_cfg2 :1407-1560).
+
+        Unlike the per-segment sampler, the sigma ladder spans [0, t_end]
+        globally with ``num_steps`` points (+ a final deterministic Euler
+        step to 1.0); the decoder segment is picked per step via
+        get_segment_index(t); diffusion = 2(1-t); the batch is doubled only
+        inside the guidance window. fp32 state (torch fp64 -> TPU fp32)."""
+        B = x.shape[0]
+        grid, mask, size = make_grid_mask_size(
+            B, self.n_patch_h, self.n_patch_w, self.context_size)
+        grid2, mask2, size2 = make_grid_mask_size(
+            2 * B, self.n_patch_h, self.n_patch_w, self.context_size)
+        f_cos, f_sin = self._rope(grid, size)
+        f_cos2, f_sin2 = self._rope(grid2, size2)
+        y_null = jnp.full((B,), self.num_classes, y.dtype)
+        y2 = jnp.concatenate([y, y_null])
+        sig = np.concatenate([np.linspace(0.0, t_end, num_steps), [1.0]])
+
+        def drift_at(t_cur: float, x32: Array) -> Array:
+            i = self.get_segment_index(t_cur)
+            doubled = cfg_scale > 1.0 and guidance_low <= t_cur <= guidance_high
+            if doubled:
+                xin = jnp.concatenate([x32, x32]).astype(x.dtype)
+                tr = self._self_guidance_transform(
+                    t_cur, cfg_scale, guidance_low, guidance_high,
+                    self_guidance)
+                t = jnp.full((2 * B,), t_cur, jnp.float32)
+                v = self._segment_velocity(i, xin, t, y2, mask2, f_cos2,
+                                           f_sin2, tr).astype(jnp.float32)
+                xin32 = jnp.concatenate([x32, x32])
+            else:
+                xin = x32.astype(x.dtype)
+                t = jnp.full((B,), t_cur, jnp.float32)
+                v = self._segment_velocity(i, xin, t, y, mask, f_cos,
+                                           f_sin).astype(jnp.float32)
+                xin32 = x32
+            diffusion = 2.0 * (1.0 - t_cur)
+            score = (t_cur * v - xin32) / max(1.0 - t_cur, 1e-4)
+            drift = v + 0.5 * diffusion * score
+            if doubled:
+                d_cond, d_uncond = jnp.split(drift, 2, axis=0)
+                drift = d_uncond + cfg_scale * (d_cond - d_uncond)
+            return drift, diffusion
+
+        x32 = x.astype(jnp.float32)
+        for t_cur, t_next in zip(sig[:-2], sig[1:-1]):
+            dt = float(t_next - t_cur)
+            drift, diffusion = drift_at(float(t_cur), x32)
+            rng, k = jax.random.split(rng)
+            w = jax.random.normal(k, x32.shape, jnp.float32)
+            x32 = x32 + drift * dt \
+                + np.sqrt(max(diffusion, 0.0)) * np.sqrt(abs(dt)) * w
+        # last step: deterministic Euler to 1.0 (:1500-1560)
+        t_cur = float(sig[-2])
+        drift, _ = drift_at(t_cur, x32)
+        x32 = x32 + drift * float(sig[-1] - sig[-2])
+        return x32.astype(x.dtype)
+
+    # -- mid-block representation forecasting (finetune stage) ----------------
+
+    def forward_run_layer_finetune(self, x: Array, t: Array, y: Array,
+                                   segment_idx: int, grid: Array,
+                                   mask: Array, t_next: Array,
+                                   xt_next: Array,
+                                   size: Optional[Array] = None,
+                                   mode: str = 'replace'):
+        """Train the cheap mid-block stack to forecast the shared encoder's
+        representation at the NEXT sub-step (reference finetune family,
+        fit_model_lwd_bk.py:800-1084). The trunk is frozen via
+        stop_gradient; only the forecaster path carries gradients.
+
+        mode: 'replace'  rep_t = mid(x)                 (:800-920, finetune)
+              'residual' rep_t = rep + coeff(t)*mid(x)  (:1009-1084, ft2)
+              'blend'    rep_t = (1-g)*rep + g*mid(x)   (:922-1007, ft3)
+        where rep is the frozen encoder output at (t_next, xt_next), coeff
+        is the timestep-dependent scalar, g the SRN per-token gate.
+
+        Returns dict(x_pred, x_target, rep_pred, rep_target): x_target /
+        rep_target come from the frozen full encoder at (t, x).
+        """
+        sg = jax.lax.stop_gradient
+        f_cos, f_sin = self._rope(grid, size)
+        i = segment_idx
+        y_embed = self._emb(self.y_embedders, i)(y)
+        t_emb = self._emb(self.t_embedders, i)(
+            self._time_shift(t).astype(self.dtype))
+        c_next, g_next = self._cond(i, t_next, y_embed)
+        rep_frozen = sg(self._encode_representation(
+            xt_next, c_next, mask, f_cos, f_sin, g_next))
+
+        x_mid = sg(self.representation_x_embedder2(x.astype(self.dtype)))
+        c_mid = t_emb[:, None, :] + rep_frozen
+        mid_out = self.mid_blocks(x_mid, c_mid, mask, f_cos, f_sin, 0.0)
+        if mode == 'replace':
+            rep_t = mid_out
+        elif mode == 'residual':
+            coeff = self.mid_coefficient(t_emb)  # (B, 1) in [0, 1]
+            rep_t = rep_frozen + coeff[:, None, :] * mid_out
+        elif mode == 'blend':
+            gate = self.mid_gate(x_mid, c_mid)   # (B, N, D) in [0, 1]
+            rep_t = (1.0 - gate) * rep_frozen + gate * mid_out
+        else:
+            raise ValueError(f'unknown finetune mode: {mode}')
+        rep_pred = self.rep_projection(rep_t)
+
+        # prediction: decoder segment conditioned on the forecast rep
+        c_repre, g2 = self._token_cond(t_emb, rep_t)
+        h = self._emb(self.x_embedders, i)(x.astype(self.dtype))
+        h = self.segments[i](h, c_repre, mask, f_cos, f_sin, g2)
+        x_pred = self._emb(self.final_layers, i)(h, c_repre)
+        x_pred = x_pred * mask.astype(x_pred.dtype)[..., None]
+
+        # target: frozen full-encoder path at (t, x)
+        c, g = self._cond(i, t, y_embed)
+        rep2 = self._encode_representation(x, c, mask, f_cos, f_sin, g)
+        rep_target = sg(self.rep_projection(rep2))
+        c_repre2, g22 = self._token_cond(t_emb, rep2)
+        h2 = self._emb(self.x_embedders, i)(x.astype(self.dtype))
+        h2 = self.segments[i](h2, c_repre2, mask, f_cos, f_sin, g22)
+        x_target = self._emb(self.final_layers, i)(h2, c_repre2)
+        x_target = sg(x_target * mask.astype(x_target.dtype)[..., None])
+
+        return {'x_pred': x_pred, 'x_target': x_target,
+                'rep_pred': rep_pred, 'rep_target': rep_target}
+
     def sample_maruyama_cfg(self, rng: Array, x: Array, y: Array,
                             cfg_scale: float,
                             number_of_step_perflow: int = 1,
                             guidance_low: float = 0.0,
-                            guidance_high: float = 1.0) -> Array:
+                            guidance_high: float = 1.0,
+                            self_guidance: bool = False) -> Array:
         """Per-segment Euler–Maruyama with guidance windows (:1297-1404)."""
         B = x.shape[0]
         grid, mask, size = make_grid_mask_size(
@@ -163,8 +419,11 @@ class FiTLwDSharedEncSepDec(FiTLwD):
                 dt = float(sig[s + 1] - sig[s])
                 t = jnp.full((2 * B,), t_cur, jnp.float32)
                 x2 = jnp.concatenate([x, x], axis=0)
+                tr = self._self_guidance_transform(
+                    t_cur, cfg_scale, guidance_low, guidance_high,
+                    self_guidance)
                 v = self._segment_velocity(i, x2, t, y2, mask, f_cos,
-                                           f_sin).astype(jnp.float32)
+                                           f_sin, tr).astype(jnp.float32)
                 x32 = x.astype(jnp.float32)
                 diffusion = 1.0 - t_cur
                 score = (t_cur * v - jnp.concatenate([x32, x32])) / max(

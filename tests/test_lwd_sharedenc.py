@@ -61,3 +61,100 @@ def test_sample_maruyama_cfg_runs():
     out = model.apply({'params': params}, jax.random.PRNGKey(3), x, y,
                       1.4, 2, method=model.sample_maruyama_cfg)
     assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    # representation self-guidance path: randomize params first — adaLN-zero
+    # fresh init makes velocities 0, hiding the rep extrapolation
+    rng_np = np.random.default_rng(0)
+    rparams = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(
+            rng_np.standard_normal(v.shape).astype(np.float32) * 0.05),
+        params)
+    base = model.apply({'params': rparams}, jax.random.PRNGKey(3), x, y,
+                       1.4, 2, method=model.sample_maruyama_cfg)
+    out_sg = model.apply({'params': rparams}, jax.random.PRNGKey(3), x, y,
+                         1.4, 2, 0.0, 1.0, True,
+                         method=model.sample_maruyama_cfg)
+    assert np.isfinite(np.asarray(out_sg)).all()
+    assert not np.allclose(np.asarray(out_sg), np.asarray(base))
+
+
+def test_sample_wo_cfg_family_returns():
+    """Flags cover forward_wo_cfg{,_pca,_int,_repre,_int_repre}."""
+    model = _model()
+    params, (x, t, y, grid, mask, size) = _init(model)
+    out = model.apply({'params': params}, x, y, 2, method=model.sample)
+    assert out.shape == x.shape
+    out2, aux = model.apply(
+        {'params': params}, x, y, 2, True, True, True, True,
+        method=model.sample)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                               rtol=2e-5, atol=2e-5)
+    K = model.number_of_perflow * 2  # segments x sub-steps
+    assert len(aux['intermediates']) == K
+    assert len(aux['semantics']) == K
+    assert aux['representations'][0].shape == (2, 16, 16)  # repa_dim
+    assert aux['hidden'][0].shape == (2, 16, 32)           # hidden_size
+    np.testing.assert_array_equal(np.asarray(aux['intermediates'][-1]),
+                                  np.asarray(out2))
+
+
+def test_sample_maruyama_plain_and_intermediates():
+    model = _model()
+    params, (x, t, y, grid, mask, size) = _init(model)
+    out = model.apply({'params': params}, jax.random.PRNGKey(4), x, y, 2,
+                      method=model.sample_maruyama)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    out2, inter = model.apply({'params': params}, jax.random.PRNGKey(4),
+                              x, y, 2, True, method=model.sample_maruyama)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
+    assert len(inter) >= model.number_of_perflow
+
+
+def test_sample_maruyama_global_cfg():
+    model = _model()
+    params, (x, t, y, grid, mask, size) = _init(model)
+    out = model.apply({'params': params}, jax.random.PRNGKey(5), x, y,
+                      1.5, 6, method=model.sample_maruyama_global_cfg)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    # self-guidance changes the trajectory
+    out_sg = model.apply({'params': params}, jax.random.PRNGKey(5), x, y,
+                         1.5, 6, 0.0, 1.0, True,
+                         method=model.sample_maruyama_global_cfg)
+    assert np.isfinite(np.asarray(out_sg)).all()
+
+
+@pytest.mark.parametrize('mode', ['replace', 'residual', 'blend'])
+def test_forward_run_layer_finetune_modes(mode):
+    model = _model()
+    params, (x, t, y, grid, mask, size) = _init(model)
+    t_next = jnp.full_like(t, 0.25)
+    xt_next = x + 0.1
+    out = model.apply({'params': params}, x, t, y, 0, grid, mask, t_next,
+                      xt_next, size, mode,
+                      method=model.forward_run_layer_finetune)
+    assert set(out) == {'x_pred', 'x_target', 'rep_pred', 'rep_target'}
+    assert out['x_pred'].shape == out['x_target'].shape == (2, 16, 16)
+    assert out['rep_pred'].shape == out['rep_target'].shape == (2, 16, 16)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+    # gradients flow ONLY through the forecaster path: frozen-target grads
+    # must be exactly zero
+    def loss(p):
+        o = model.apply({'params': p}, x, t, y, 0, grid, mask, t_next,
+                        xt_next, size, mode,
+                        method=model.forward_run_layer_finetune)
+        return jnp.sum(o['x_target'] ** 2) + jnp.sum(o['rep_target'] ** 2)
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves)
+
+    def loss_pred(p):
+        o = model.apply({'params': p}, x, t, y, 0, grid, mask, t_next,
+                        xt_next, size, mode,
+                        method=model.forward_run_layer_finetune)
+        return jnp.sum(o['x_pred'] ** 2)
+    g2 = jax.grad(loss_pred)(params)
+    assert float(jnp.abs(
+        jax.tree_util.tree_leaves(g2['mid_blocks'])[0]).max()) >= 0.0
+    total = sum(float(jnp.abs(l).sum())
+                for l in jax.tree_util.tree_leaves(g2['mid_blocks']))
+    assert np.isfinite(total)
