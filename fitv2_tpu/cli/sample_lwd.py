@@ -18,7 +18,13 @@ def parse_args(argv=None):
     p.add_argument('--ckpt', required=True,
                    help='orbax checkpoint dir (TrainState with ema_params)')
     p.add_argument('--sampler', default='cfg',
-                   choices=['plain', 'cfg', 'maruyama', 'multiscale'])
+                   choices=['plain', 'cfg', 'maruyama', 'maruyama_global',
+                            'multiscale'])
+    p.add_argument('--global-steps', type=int, default=250,
+                   help='sigma-grid points for the maruyama_global sampler '
+                        '(sharedenc models only)')
+    p.add_argument('--self-guidance', action='store_true',
+                   help='representation self-guidance (sharedenc models)')
     p.add_argument('--cfg-scale', type=float, default=1.4)
     p.add_argument('--steps-per-flow', type=int, default=1,
                    help='Euler sub-steps per segment '
@@ -83,6 +89,10 @@ def main(argv=None):
             {'params': p}, r, z, y, args.cfg_scale, args.steps_per_flow,
             args.guidance_low, args.guidance_high,
             method=model.sample_maruyama_cfg),
+        'maruyama_global': lambda p, r, z, y: model.apply(
+            {'params': p}, r, z, y, args.cfg_scale, args.global_steps,
+            args.guidance_low, args.guidance_high, args.self_guidance,
+            method=model.sample_maruyama_global_cfg),
         'multiscale': lambda p, r, z, y: model.apply(
             {'params': p}, r, z, y, args.steps_per_flow,
             method=model.sample_multiscale),

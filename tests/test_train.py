@@ -190,3 +190,25 @@ def test_mesh_config_resolve():
     assert MeshConfig(data=2, sequence=4).resolve(8) == (2, 1, 4, 1)
     with pytest.raises(AssertionError):
         MeshConfig(data=3, fsdp=3, tensor=1).resolve(8)
+
+
+def test_optimizer_mu_dtype_bf16():
+    """Opt-in bf16 Adam first moment halves that state's HBM footprint."""
+    import jax.numpy as jnp
+    from fitv2_tpu.train.train_step import OptimizerConfig, make_optimizer
+    params = {'w': jnp.ones((4, 4)), 'b': jnp.zeros((4,))}
+    tx = make_optimizer(OptimizerConfig(mu_dtype=jnp.bfloat16))
+    st = tx.init(params)
+    leaves = jax.tree_util.tree_leaves(st)
+    assert sum(getattr(l, 'dtype', None) == jnp.bfloat16
+               for l in leaves) == 2  # mu for both params
+    g = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 0.1), params)
+    up, _ = tx.update(g, st, params)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(up))
+    # default stays fp32 (reference parity) — ignore int step counters
+    st32 = make_optimizer(OptimizerConfig()).init(params)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(st32)
+               if hasattr(l, 'dtype') and jnp.issubdtype(l.dtype,
+                                                         jnp.floating))
