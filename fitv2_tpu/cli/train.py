@@ -24,6 +24,9 @@ def parse_args(argv=None):
     p.add_argument('--no-resume', dest='resume', action='store_false')
     p.add_argument('--max-steps', type=int, default=None)
     p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--came', action='store_true',
+                   help='train with the CAME optimizer '
+                        '(reference train_fitv2.py --came)')
     return p.parse_args(argv)
 
 
@@ -63,6 +66,9 @@ def build_trainer(cfg, args):
         lr_warmup_steps=int(acc.get('lr_warmup_steps', 1000)),
         max_grad_norm=float(acc.get('max_grad_norm', 1.0)),
         weight_decay=float(opt.get('weight_decay', 0.0)),
+        # reference --came flag / optimizer target (train_fitv2.py:43,351-356)
+        optimizer='came' if (args.came or 'came' in str(
+            acc.get('optimizer', {}).get('target', '')).lower()) else 'adamw',
         grad_accum_steps=int(acc.get('gradient_accumulation_steps', 1)),
         seed=args.seed if args.seed is not None else int(
             acc.get('seed', 42)),

@@ -3,7 +3,11 @@
 Replaces the reference's TensorFlow-v1 Inception graph
 (/root/reference/fit/utils/evaluator.py:15-180) with a flax port of the
 FID-standard InceptionV3 (torchvision layout with the pytorch-fid pooling
-patches, which reproduces the TF pool_3 features used by the ADM suite):
+patches). NOTE: pytorch-fid features are close to but not bit-identical to
+the TF-v1 pool_3 graph, so FID/sFID computed here carry a small systematic
+offset vs reference-published ADM-suite numbers (typically <0.1 FID at 50K
+samples in pytorch-fid's own comparisons); comparisons within this
+framework are self-consistent:
 
   - pool3 features: (N, 2048) global-avg-pool activations -> FID
   - spatial features: first 7 channels of Mixed_6e's input (mixed_6/conv),

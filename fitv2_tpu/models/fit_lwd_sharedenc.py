@@ -38,7 +38,10 @@ class FiTLwDSharedEncSepDec(FiTLwD):
     """Adds the shared representation encoder + per-token conditioning."""
     number_of_representation_blocks: int = 4  # shared trunk length
     number_of_mid_blocks: int = 1             # rep forecaster depth (:163-171)
-    self_guidance_scale: float = 1.1          # rep extrapolation (:1370-1374)
+    # rep-extrapolation scales: forward_maruyama_cfg uses 1.05 (:1367-1369),
+    # forward_maruyama_cfg2 uses 1.1 (:1466-1468) — per-sampler fields.
+    self_guidance_scale: float = 1.05
+    self_guidance_scale_global: float = 1.1
 
     @property
     def rep_layers_per_flow(self) -> int:
@@ -145,16 +148,18 @@ class FiTLwDSharedEncSepDec(FiTLwD):
 
     def _self_guidance_transform(self, t_cur: float, cfg_scale: float,
                                  guidance_low: float, guidance_high: float,
-                                 self_guidance: bool):
+                                 self_guidance: bool,
+                                 scale: Optional[float] = None):
         """Representation extrapolation cond-vs-null inside the guidance
-        window (reference :1366-1374, scale 1.1)."""
+        window (reference :1366-1374 scale 1.05; cfg2 :1466-1468 scale 1.1)."""
         if not (self_guidance and cfg_scale > 1.0
                 and guidance_low <= t_cur <= guidance_high):
             return None
+        scale = self.self_guidance_scale if scale is None else scale
 
         def transform(rep):
             r_cond, r_null = jnp.split(rep, 2, axis=0)
-            r_guided = r_null + self.self_guidance_scale * (r_cond - r_null)
+            r_guided = r_null + scale * (r_cond - r_null)
             return jnp.concatenate([r_guided, r_null], axis=0)
 
         return transform
@@ -253,13 +258,17 @@ class FiTLwDSharedEncSepDec(FiTLwD):
                 v = self._segment_velocity(i, x, t, y, mask, f_cos,
                                            f_sin).astype(jnp.float32)
                 x32 = x.astype(jnp.float32)
+                # reference forward_maruyama (:1286-1294): drift uses the
+                # FULL (1-t)*score with noise sqrt(2*(1-t))*dw — unlike
+                # forward_maruyama_cfg, which halves both (see
+                # sample_maruyama_cfg below).
                 diffusion = 1.0 - t_cur
                 score = (t_cur * v - x32) / max(1.0 - t_cur, 1e-4)
-                x_next = x32 + (v + 0.5 * diffusion * score) * dt
+                x_next = x32 + (v + diffusion * score) * dt
                 if not (i == K - 1 and s == nsub - 1):
                     rng, k = jax.random.split(rng)
                     w = jax.random.normal(k, x.shape, jnp.float32)
-                    x_next = x_next + np.sqrt(max(diffusion, 0.0)) \
+                    x_next = x_next + np.sqrt(max(2.0 * diffusion, 0.0)) \
                         * np.sqrt(abs(dt)) * w
                 x = x_next.astype(x.dtype)
                 if return_intermediates:
@@ -297,7 +306,7 @@ class FiTLwDSharedEncSepDec(FiTLwD):
                 xin = jnp.concatenate([x32, x32]).astype(x.dtype)
                 tr = self._self_guidance_transform(
                     t_cur, cfg_scale, guidance_low, guidance_high,
-                    self_guidance)
+                    self_guidance, scale=self.self_guidance_scale_global)
                 t = jnp.full((2 * B,), t_cur, jnp.float32)
                 v = self._segment_velocity(i, xin, t, y2, mask2, f_cos2,
                                            f_sin2, tr).astype(jnp.float32)

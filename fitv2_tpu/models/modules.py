@@ -246,6 +246,25 @@ class Attention(nn.Module):
         Dh = C // H
         qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                     name='qkv')(x)
+
+        # Fused megakernel path (qk-LN + split-RoPE + masked attention in one
+        # Pallas kernel straight off the flat qkv projection). MEASURED on
+        # v5e (B=16, N=256, H=16, Dh=72): 544 us/call vs the XLA chain's
+        # 206 us — the 512 per-head (256,72,256) MXU dots pay more in
+        # small-matmul issue overhead than the avoided logits HBM traffic,
+        # so 'auto' does NOT select it; opt in with attn_impl='fused'
+        # (wins are expected only for lane-aligned head dims).
+        if (self.attn_impl == 'fused'
+                and self.use_rope and freqs_cos is not None):
+            from fitv2_tpu.ops import fused_attention as fa
+            if fa.supports(N, C, H, self.rope_layout, self.q_norm,
+                           self.k_norm, self.qk_norm_weight,
+                           self.add_rel_pe_to_v, self.save_attention):
+                out = fa.fused_qkln_rope_attention(
+                    qkv, freqs_cos, freqs_sin, mask, H,
+                    norm_q=self.q_norm == 'layernorm',
+                    norm_k=self.k_norm == 'layernorm')
+                return Dense(C, dtype=self.dtype, name='proj')(out)
         # split on the minor dim (layout-friendly: measured 1.9% faster than
         # reshape(B,N,3,H,Dh) + middle-axis indexing, which makes XLA insert
         # a full-tensor relayout copy per block on TPU; a k-major

@@ -45,6 +45,10 @@ class OptimizerConfig:
     max_grad_norm: float = 1.0
     grad_accum_steps: int = 1
     lr_schedule: Optional[Callable] = None  # step -> lr; overrides learning_rate
+    # 'adamw' (default) or 'came' (reference --came flag,
+    # train_fitv2.py:43,351-356; betas then default to CAME's (0.9, 0.999,
+    # 0.9999) with eps (1e-30, 1e-16) unless overridden).
+    optimizer: str = 'adamw'
     # dtype of Adam's first moment. bfloat16 halves that state's HBM
     # footprint/traffic (profiled: optimizer+EMA elementwise passes are
     # ~18% of the XL train step, memory-bound); fp32 (default) matches the
@@ -54,11 +58,18 @@ class OptimizerConfig:
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     lr = cfg.lr_schedule if cfg.lr_schedule is not None else cfg.learning_rate
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
-                    weight_decay=cfg.weight_decay, mu_dtype=cfg.mu_dtype),
-    )
+    if cfg.optimizer == 'adamw':
+        inner = optax.adamw(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+                            weight_decay=cfg.weight_decay,
+                            mu_dtype=cfg.mu_dtype)
+    elif cfg.optimizer == 'came':
+        from fitv2_tpu.train.came import came
+        inner = came(lr, b1=cfg.betas[0], b2=cfg.betas[1],
+                     weight_decay=cfg.weight_decay)
+    else:
+        raise ValueError(f'unknown optimizer {cfg.optimizer!r} '
+                         "(expected 'adamw' or 'came')")
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx

@@ -57,6 +57,8 @@ class TrainerConfig:
     max_grad_norm: float = 1.0
     weight_decay: float = 0.0
     grad_accum_steps: int = 1
+    # 'adamw' or 'came' (reference --came, train_fitv2.py:43,351-356)
+    optimizer: str = 'adamw'
     ema_decay: float = 0.9999
     seed: int = 42
     # transport (reference create_transport defaults for FiTv2)
@@ -112,6 +114,7 @@ class Trainer:
             learning_rate=lr, max_grad_norm=config.max_grad_norm,
             weight_decay=config.weight_decay,
             grad_accum_steps=config.grad_accum_steps,
+            optimizer=config.optimizer,
             lr_schedule=schedule))
         self._train_step = make_train_step(self.model, self.transport,
                                            self.tx, config.ema_decay)

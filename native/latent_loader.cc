@@ -249,6 +249,25 @@ int64_t LoadAsInt(const char* src, const std::string& dtype, size_t idx) {
   return static_cast<int64_t>(LoadAsFloat(src, dtype, idx));
 }
 
+size_t DtypeSize(const std::string& dtype) {
+  if (dtype == "F32" || dtype == "I32") return 4;
+  if (dtype == "F16" || dtype == "BF16") return 2;
+  if (dtype == "I64" || dtype == "F64") return 8;
+  return 0;  // unknown -> every range check fails
+}
+
+// True iff reading `count` elements starting at element `first` of tensor
+// `info` stays inside both the tensor's recorded extent and the shard
+// payload (defends against corrupt/truncated shards; OOB reads otherwise).
+bool InRange(const Shard& shard, const TensorInfo& info, uint64_t first,
+             uint64_t count) {
+  size_t esz = DtypeSize(info.dtype);
+  if (esz == 0) return false;
+  if (info.begin > info.end || info.end > shard.data.size()) return false;
+  uint64_t need = (first + count) * esz;
+  return need <= info.end - info.begin;
+}
+
 // Assemble one padded sample into the batch slot (reference __getitem__
 // semantics: flip pick, (h w c)->(N,c) flatten, zero pad to target_len).
 bool AssembleOne(const char* path, int flip, int target_len, int channels,
@@ -268,10 +287,14 @@ bool AssembleOne(const char* path, int flip, int target_len, int channels,
   if (fi.shape.size() != 4 || fi.shape[3] != channels) return false;
   int64_t h = fi.shape[1], w = fi.shape[2];
   int64_t n = h * w;
-  if (n > target_len) return false;
+  if (n > target_len || n <= 0) return false;
+  // the requested flip variant must exist in the (n_flips, h, w, c) stack
+  if (fi.shape[0] <= (flip ? 1 : 0)) return false;
 
+  uint64_t flip_offset = (flip ? 1ull : 0ull) * (n * channels);
+  if (!InRange(shard, fi, flip_offset, static_cast<uint64_t>(n) * channels))
+    return false;
   const char* fsrc = shard.data.data() + fi.begin;
-  size_t flip_offset = (flip ? 1 : 0) * (n * channels);
   for (int64_t i = 0; i < n * channels; ++i) {
     feature[i] = LoadAsFloat(fsrc, fi.dtype, flip_offset + i);
   }
@@ -279,8 +302,12 @@ bool AssembleOne(const char* path, int flip, int target_len, int channels,
               (target_len - n) * channels * sizeof(float));
 
   const TensorInfo& gi = grid_it->second;
-  const char* gsrc = shard.data.data() + gi.begin;
   int64_t gn = gi.shape.size() == 2 ? gi.shape[1] : n;
+  // a pre-padded grid longer than target_len would overrun the caller's
+  // (2, target_len) buffer — reject rather than clamp (shard is malformed)
+  if (gn > target_len || gn < 0) return false;
+  if (!InRange(shard, gi, 0, 2ull * gn)) return false;
+  const char* gsrc = shard.data.data() + gi.begin;
   for (int64_t a = 0; a < 2; ++a) {
     for (int64_t i = 0; i < gn; ++i) {
       grid[a * target_len + i] =
@@ -293,11 +320,13 @@ bool AssembleOne(const char* path, int flip, int target_len, int channels,
   for (int64_t i = 0; i < target_len; ++i) mask[i] = i < n ? 1.0f : 0.0f;
 
   const TensorInfo& si = size_it->second;
+  if (!InRange(shard, si, 0, 2)) return false;
   const char* ssrc = shard.data.data() + si.begin;
   size2[0] = static_cast<int32_t>(LoadAsInt(ssrc, si.dtype, 0));
   size2[1] = static_cast<int32_t>(LoadAsInt(ssrc, si.dtype, 1));
 
   const TensorInfo& li = label_it->second;
+  if (!InRange(shard, li, 0, 1)) return false;
   *label = static_cast<int32_t>(
       LoadAsInt(shard.data.data() + li.begin, li.dtype, 0));
   return true;

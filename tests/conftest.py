@@ -30,3 +30,14 @@ def eight_devices():
     assert devs[0].platform == 'cpu', f'tests must run on CPU, got {devs[0]}'
     assert len(devs) == 8, f'expected 8 virtual cpu devices, got {len(devs)}'
     return devs
+
+
+@pytest.fixture(scope='module', autouse=True)
+def _clear_jax_caches_per_module():
+    """Bound compile-cache/memory growth so the FULL suite survives one
+    process (round-1 ran `pytest tests/` into an XLA SIGSEGV at ~46% from
+    accumulated compiled executables; sharding was the workaround). Clearing
+    per module keeps within-module caching (fast) while capping the
+    process-wide footprint."""
+    yield
+    jax.clear_caches()

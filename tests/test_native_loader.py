@@ -78,3 +78,66 @@ def test_batch_failure_reported(shards, tmp_path):
     bad = str(tmp_path / 'nope.safetensors')
     with pytest.raises(RuntimeError):
         native_loader.load_batch([bad], [0], target_len=64)
+
+
+def _write_safetensors(path, tensors):
+    import json
+    import struct
+    header = {}
+    payload = b''
+    for name, arr in tensors.items():
+        dt = {'float32': 'F32', 'int64': 'I64', 'int32': 'I32'}[str(arr.dtype)]
+        raw = arr.tobytes()
+        header[name] = {'dtype': dt, 'shape': list(arr.shape),
+                        'data_offsets': [len(payload), len(payload) + len(raw)]}
+        payload += raw
+    hj = json.dumps(header).encode()
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', len(hj)))
+        f.write(hj)
+        f.write(payload)
+
+
+def _valid_tensors(n=16, c=16):
+    return {
+        'feature': np.arange(2 * n * c, dtype=np.float32).reshape(2, 4, 4, c),
+        'grid': np.zeros((2, n), np.int64),
+        'size': np.array([4, 4], np.int64),
+        'label': np.array([3], np.int64),
+    }
+
+
+def test_rejects_truncated_feature_payload(tmp_path):
+    """data_offsets past the shard payload must fail, not OOB-read."""
+    t = _valid_tensors()
+    p = str(tmp_path / 'trunc.safetensors')
+    _write_safetensors(p, t)
+    # truncate the file mid-feature
+    data = open(p, 'rb').read()
+    open(p, 'wb').write(data[:len(data) - 600])
+    with pytest.raises(RuntimeError):
+        native_loader.load_batch([p], [0], target_len=16)
+
+
+def test_rejects_missing_flip_variant(tmp_path):
+    """flip=1 against a single-variant feature stack must fail cleanly."""
+    t = _valid_tensors()
+    t['feature'] = t['feature'][:1]  # shape (1, 4, 4, 16)
+    p = str(tmp_path / 'noflip.safetensors')
+    _write_safetensors(p, t)
+    with pytest.raises(RuntimeError):
+        native_loader.load_batch([p], [1], target_len=16)
+    # flip=0 still loads
+    out = native_loader.load_batch([p], [0], target_len=16)
+    assert out['feature'].shape == (1, 16, 16)
+
+
+def test_rejects_overlong_grid(tmp_path):
+    """a pre-padded grid longer than target_len must be rejected (it would
+    overrun the caller's (2, target_len) buffer)."""
+    t = _valid_tensors()
+    t['grid'] = np.zeros((2, 64), np.int64)  # longer than target_len=16
+    p = str(tmp_path / 'longgrid.safetensors')
+    _write_safetensors(p, t)
+    with pytest.raises(RuntimeError):
+        native_loader.load_batch([p], [0], target_len=16)

@@ -44,3 +44,22 @@ def test_trainer_end_to_end_with_resume(tmp_path):
     tr2 = Trainer(_tiny_model(), cfg)
     state2 = tr2.train(max_steps=8, resume=True)
     assert int(state2.step) == 8
+
+
+def test_trainer_came_optimizer(tmp_path):
+    """optimizer='came' trains end-to-end (reference --came,
+    train_fitv2.py:43,351-356) with finite decreasing-capable loss."""
+    data_dir = str(tmp_path / 'data')
+    make_synthetic_latent_shards(data_dir, n=16, target_len=16, n_classes=10)
+    cfg = TrainerConfig(
+        data_path=data_dir, target_len=16, global_batch_size=8,
+        num_workers=2, max_steps=4, learning_rate=1e-3,
+        lr_schedule='constant', optimizer='came',
+        output_dir=str(tmp_path / 'run'), checkpointing_steps=100,
+        log_every=1, seed=0, mesh_data=-1, mesh_fsdp=1, mesh_tensor=1)
+    metrics = []
+    tr = Trainer(_tiny_model(), cfg)
+    state = tr.train(max_steps=4, resume=False,
+                     metric_hook=lambda s, m: metrics.append(m))
+    assert int(state.step) == 4
+    assert all(np.isfinite(m['loss']) for m in metrics)

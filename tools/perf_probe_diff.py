@@ -1,0 +1,176 @@
+"""Differential occupancy probe: long-scan pairs cancel fixed dispatch cost.
+
+The axon tunnel adds ~36 ms latency per jitted call and ~1 ms per queued
+dispatch, so single-call timings of sub-millisecond ops are meaningless
+(tools/gemm_probe*.py history). Here every measurement is
+(T(scan L2) - T(scan L1)) / (L2 - L1) inside ONE jit call each — pure
+device occupancy per iteration.
+
+Stages:
+  gemm   — the four XL GEMM shapes
+  attn   — attention-chain variants (XLA vs fused megakernel)
+  block  — one full FiTBlock (hot config) vs sum of parts
+  fwd    — full XL forward step occupancy (sampler-style)
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+L1, L2 = 36, 144
+
+
+def diff_time(make_scan, x0):
+    f1, f2 = make_scan(L1), make_scan(L2)
+    out = f1(x0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = f1(x0)
+    jax.block_until_ready(out)
+    t1 = time.perf_counter() - t0
+    out = f2(x0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = f2(x0)
+    jax.block_until_ready(out)
+    t2 = time.perf_counter() - t0
+    return (t2 - t1) / (L2 - L1)
+
+
+def stage_gemm():
+    shapes = [('qkv ', 4096, 1152, 3456), ('proj', 4096, 1152, 1152),
+              ('fc1g', 4096, 1152, 3072), ('fc2 ', 4096, 3072, 1152)]
+    for name, m, k, n in shapes:
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, n),
+                              jnp.bfloat16) * (k ** -0.5)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+
+        def make(length):
+            @jax.jit
+            def run(x):
+                def body(x, _):
+                    y = jax.lax.dot_general(
+                        x, w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+                    x2 = y[:, :k] if y.shape[1] >= k else jnp.pad(
+                        y, ((0, 0), (0, k - y.shape[1])))
+                    return x2, None
+                x, _ = jax.lax.scan(body, x, None, length=length)
+                return x
+            return run
+        dt = diff_time(make, x0)
+        print(f'gemm {name}: {dt*1e6:8.1f} us  '
+              f'{2*m*k*n/dt/1e12:6.1f} TFLOP/s', flush=True)
+
+
+def stage_attn():
+    from fitv2_tpu.ops import fused_attention as fa
+    B, N, H, Dh = 16, 256, 16, 72
+    C = H * Dh
+    qkv0 = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C),
+                             jnp.bfloat16)
+    cos = jax.random.normal(jax.random.PRNGKey(1), (B, N, Dh), jnp.bfloat16)
+    sin = jax.random.normal(jax.random.PRNGKey(2), (B, N, Dh), jnp.bfloat16)
+    mask = jnp.ones((B, N), jnp.float32)
+
+    def bench(f, tag):
+        def make(length):
+            @jax.jit
+            def run(qkv):
+                def body(x, _):
+                    o = f(x)
+                    return jnp.concatenate([o, o, x[..., 2 * C:]], -1), None
+                out, _ = jax.lax.scan(body, qkv, None, length=length)
+                return out
+            return run
+        dt = diff_time(make, qkv0)
+        print(f'attn {tag}: {dt*1e6:8.1f} us/call', flush=True)
+
+    bench(lambda x: fa._reference_chain(x, cos, sin, mask, H, 1e-6, True,
+                                        True), 'xla-chain        ')
+    bench(lambda x: fa.fused_qkln_rope_attention(x, cos, sin, mask, H),
+          'fused-megakernel ')
+
+
+def stage_block():
+    from fitv2_tpu.models.modules import FiTBlock
+    B, N, D, H = 16, 256, 1152, 16
+    Dh = D // H
+    for impl in ('auto', 'fused'):
+        block = FiTBlock(hidden_size=D, num_heads=H, swiglu=True,
+                         q_norm='layernorm', k_norm='layernorm',
+                         adaln_type='lora', adaln_lora_dim=288,
+                         dtype=jnp.bfloat16, attn_impl=impl,
+                         rope_layout='split')
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (B, N, D), jnp.bfloat16)
+        c = jax.random.normal(jax.random.PRNGKey(1), (B, D), jnp.bfloat16)
+        cos = jax.random.normal(jax.random.PRNGKey(2), (B, N, Dh),
+                                jnp.bfloat16)
+        sin = jax.random.normal(jax.random.PRNGKey(3), (B, N, Dh),
+                                jnp.bfloat16)
+        mask = jnp.ones((B, N), jnp.float32)
+        params = block.init(jax.random.PRNGKey(0), x0, c, mask, cos, sin)
+
+        def make(length):
+            @jax.jit
+            def run(x):
+                def body(x, _):
+                    return block.apply(params, x, c, mask, cos, sin), None
+                x, _ = jax.lax.scan(body, x, None, length=length)
+                return x
+            return run
+        dt = diff_time(make, x0)
+        print(f'block[{impl:5s}]: {dt*1e6:8.1f} us  '
+              f'(36x = {dt*36*1e3:6.2f} ms)', flush=True)
+
+
+def stage_fwd():
+    sys.path.insert(0, '/root/repo/tools')
+    from perf_probe_r2 import build_xl, make_inputs, init_params
+    B2 = 16
+    grid, mask, size, y = make_inputs(B2)
+    t = jnp.full((B2,), 0.5, jnp.float32)
+    model = build_xl('auto')
+    params = init_params(model, grid, mask, size, y)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (B2, 256, 16),
+                           jnp.bfloat16)
+
+    def make(length):
+        @jax.jit
+        def run(x):
+            def body(x, _):
+                o = model.apply({'params': params}, x, t, y, grid, mask,
+                                size)
+                return (x + 0.001 * o).astype(x.dtype), None
+            x, _ = jax.lax.scan(body, x, None, length=length)
+            return x
+        return run
+
+    def diff(l1, l2):
+        f1, f2 = make(l1), make(l2)
+        for f in (f1, f2):
+            jax.block_until_ready(f(x0))
+        t0 = time.perf_counter()
+        jax.block_until_ready(f1(x0))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(f2(x0))
+        t2 = time.perf_counter() - t0
+        return (t2 - t1) / (l2 - l1)
+
+    dt = diff(10, 40)
+    eff = 2 * 0.294e12 * (B2 / 2) / dt
+    print(f'fwd occupancy: {dt*1e3:8.3f} ms  ({eff/1e12:6.1f} TFLOP/s eff)',
+          flush=True)
+
+
+if __name__ == '__main__':
+    print('backend:', jax.default_backend(), flush=True)
+    for s in sys.argv[1:] or ['gemm', 'attn', 'block']:
+        {'gemm': stage_gemm, 'attn': stage_attn, 'block': stage_block,
+         'fwd': stage_fwd}[s]()
+    print('DONE', flush=True)
