@@ -119,8 +119,30 @@ def export_fit_state_dict(params: Dict[str, Any], *, depth: int,
         put_linear(f'{fbase}/attn/proj', f'{t}.attn.proj', idx)
         put_norm(f'{fbase}/attn/q_norm', f'{t}.attn.q_norm', idx)
         put_norm(f'{fbase}/attn/k_norm', f'{t}.attn.k_norm', idx)
-        for n in ('fc1_g', 'fc1_x', 'fc2', 'fc1'):
-            put_linear(f'{fbase}/mlp/{n}', f'{t}.mlp.{n}', idx)
+        # fused SwiGLU fc1 ([g | x] columns, models/modules.py) splits back
+        # into the timm fc1_g/fc1_x keys; a plain-Mlp fc1 (out == fc2's in)
+        # exports as-is (FiTv1).
+        fc1 = flat.get(f'{fbase}/mlp/fc1/kernel')
+        fc2 = flat.get(f'{fbase}/mlp/fc2/kernel')
+        if fc1 is not None and fc2 is not None \
+                and fc1.shape[-1] == 2 * fc2.shape[-2]:
+            w = fc1[idx] if idx is not None else fc1
+            b = flat.get(f'{fbase}/mlp/fc1/bias')
+            if b is not None and idx is not None:
+                b = b[idx]
+            wg, wx = np.split(w, 2, axis=-1)
+            sd[f'{t}.mlp.fc1_g.weight'] = np.ascontiguousarray(
+                wg.T).astype(np.float32)
+            sd[f'{t}.mlp.fc1_x.weight'] = np.ascontiguousarray(
+                wx.T).astype(np.float32)
+            if b is not None:
+                bg, bx = np.split(b, 2, axis=-1)
+                sd[f'{t}.mlp.fc1_g.bias'] = bg.astype(np.float32)
+                sd[f'{t}.mlp.fc1_x.bias'] = bx.astype(np.float32)
+            put_linear(f'{fbase}/mlp/fc2', f'{t}.mlp.fc2', idx)
+        else:
+            for n in ('fc2', 'fc1'):
+                put_linear(f'{fbase}/mlp/{n}', f'{t}.mlp.{n}', idx)
         for fpath, suffix in _adaln_names(f'{fbase}/adaLN_modulation',
                                           adaln_type):
             put_linear(fpath, f'{t}.adaLN_modulation' + suffix, idx)

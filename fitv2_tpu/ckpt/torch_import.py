@@ -13,7 +13,7 @@ reference parameter names onto this package's flax layout:
   global_adaLN_modulation.1.*               global_adaLN_modulation/fc_out/*
   blocks.N.attn.qkv.*                       blocks/block/attn/qkv/* [stacked]
   blocks.N.attn.{q,k}_norm.weight           .../attn/{q,k}_norm/weight
-  blocks.N.mlp.{fc1_g,fc1_x,fc2,fc1}.*      .../mlp/*
+  blocks.N.mlp.{fc1_g+fc1_x->fc1,fc2,fc1}.* .../mlp/* (SwiGLU fc1 fused [g|x])
   blocks.N.adaLN_modulation.1.* (normal)    .../adaLN_modulation/fc_out/*
   blocks.N.adaLN_modulation.{1,2}.* (lora)  .../adaLN_modulation/{fc1,fc_out}/*
   blocks.N.adaLN_modulation.{fc1_g,...}     .../adaLN_modulation/* (swiglu)
@@ -190,8 +190,22 @@ def convert_fit_state_dict(
         _map_norm(bf, f'{pre}.attn.k_norm', 'attn/k_norm', sd)
         _map_norm(bf, f'{pre}.norm1', 'norm1', sd)
         _map_norm(bf, f'{pre}.norm2', 'norm2', sd)
-        for n in ('fc1_g', 'fc1_x', 'fc2', 'fc1'):
-            _map_linear(bf, f'{pre}.mlp.{n}', f'mlp/{n}', sd)
+        # SwiGLU checkpoints carry timm fc1_g/fc1_x; the flax SwiGLU runs
+        # them as one fused (D, 2H) GEMM with [g | x] column layout
+        # (models/modules.py SwiGLU) — concatenate here. Plain-Mlp (FiTv1)
+        # checkpoints carry fc1 directly.
+        wg = sd.pop(f'{pre}.mlp.fc1_g.weight', None)
+        if wg is not None:
+            wx = sd.pop(f'{pre}.mlp.fc1_x.weight')
+            bf['mlp/fc1/kernel'] = np.ascontiguousarray(
+                np.concatenate([wg.T, wx.T], axis=-1))
+            bg = sd.pop(f'{pre}.mlp.fc1_g.bias', None)
+            if bg is not None:
+                bf['mlp/fc1/bias'] = np.concatenate(
+                    [bg, sd.pop(f'{pre}.mlp.fc1_x.bias')])
+        else:
+            _map_linear(bf, f'{pre}.mlp.fc1', 'mlp/fc1', sd)
+        _map_linear(bf, f'{pre}.mlp.fc2', 'mlp/fc2', sd)
         _map_adaln(bf, f'{pre}.adaLN_modulation', 'adaLN_modulation', sd,
                    adaln_type)
         block_flat.append(bf)

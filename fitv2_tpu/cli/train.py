@@ -43,6 +43,10 @@ def build_trainer(cfg, args):
     transport = create_transport(
         tcfg.get('path_type', 'Linear'), tcfg.get('prediction', 'velocity'),
         snr_type=tcfg.get('snr_type', 'lognorm'))
+    # FiTv1 (learn_sigma, configs/fit_xl.yaml) trains with improved
+    # diffusion instead of the flow transport (reference train_fit.py)
+    net_params = diff['network_config'].get('params', {})
+    objective = 'ddpm' if net_params.get('learn_sigma') else 'flow'
 
     # reference data layout: data.params.train.{data_path,target_len,random,
     # loader.batch_size} (config_fitv2_xl.yaml:48-58); batch_size is per host
@@ -78,6 +82,8 @@ def build_trainer(cfg, args):
         milestone_steps=tuple(acc.get('checkpointing_steps_list', ()) or ()),
         mesh_fsdp=int(acc.get('mesh_fsdp', 1)),
         mesh_tensor=int(acc.get('mesh_tensor', 1)),
+        objective=objective,
+        diffusion_steps=int(diff.get('diffusion_steps', 1000)),
     )
     return Trainer(model, tc, transport=transport)
 

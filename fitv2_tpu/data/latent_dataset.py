@@ -212,16 +212,24 @@ class INLatentLoader:
 
 def make_synthetic_latent_shards(root_dir: str, n: int = 16,
                                  target_len: int = 256, n_classes: int = 1000,
-                                 seed: int = 0) -> None:
-    """Write tiny synthetic shards in the reference layout (for tests/demo)."""
+                                 seed: int = 0, square: bool = False) -> None:
+    """Write tiny synthetic shards in the reference layout (for tests/demo).
+
+    square=True emits full max-side square grids only (no padding) — the
+    shape the LwD family trains on (it drops the padding mask, reference
+    modules_lwd.py:172-175).
+    """
     from safetensors.numpy import save_file
     rng = np.random.Generator(np.random.PCG64(seed))
     d1 = osp.join(root_dir, f'from_16_to_{target_len}')
     os.makedirs(d1, exist_ok=True)
     for i in range(n):
         max_side = int(np.sqrt(target_len))
-        h = int(rng.integers(2, max_side + 1))
-        w = int(rng.integers(2, max_side + 1))
+        if square:
+            h = w = max_side
+        else:
+            h = int(rng.integers(2, max_side + 1))
+            w = int(rng.integers(2, max_side + 1))
         gw, gh = np.meshgrid(np.arange(w), np.arange(h))
         grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0).astype(np.int32)
         save_file({

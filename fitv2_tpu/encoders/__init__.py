@@ -50,12 +50,33 @@ def preprocess_raw_image(x: jnp.ndarray, enc_type: str) -> jnp.ndarray:
 
 def load_encoders(enc_type: str, weights_path: Optional[str] = None,
                   arch: str = 'vit_base'
-                  ) -> Tuple[VisionTransformer, Any, Callable]:
+                  ) -> Tuple[Any, Any, Callable]:
     """(module, params, preprocess_fn) for a frozen teacher.
 
-    weights_path: local torch state dict (timm/jepa naming). Without one the
-    encoder is randomly initialized — useful only for pipeline tests.
+    enc_type families: dinov2/dinov1/mae/jepa/mocov3 (generic pre-norm ViT,
+    encoders/vit.py) and clip (pre-LN tower with class embedding +
+    quickGELU, encoders/clip.py — reference utils.py:301-320).
+    weights_path: local torch state dict (timm/jepa naming, or OpenAI clip
+    full/visual checkpoint). Without one the encoder is randomly
+    initialized — useful only for pipeline tests.
     """
+    family = enc_type.split('-')[0]
+    if family == 'clip':
+        from fitv2_tpu.encoders.clip import (
+            clip_vit_b16, clip_vit_l14, convert_clip_visual_state_dict)
+        model = clip_vit_l14() if arch in ('vit_large', 'clip_vit_l14') \
+            else clip_vit_b16()
+        if weights_path is not None:
+            from fitv2_tpu.ckpt.torch_import import load_torch_state_dict
+            params = convert_clip_visual_state_dict(
+                load_torch_state_dict(weights_path))
+        else:
+            import jax
+            params = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, model.image_size, model.image_size, 3))
+            )['params']
+        return model, params, lambda x: preprocess_raw_image(x, enc_type)
     model = _ARCHS[arch]()
     if weights_path is not None:
         from fitv2_tpu.ckpt.torch_import import load_torch_state_dict

@@ -88,10 +88,20 @@ class FiT(nn.Module):
     attn_impl: str = 'auto'
     scan_blocks: bool = True
     save_attention: bool = False
+    # remat policy when use_checkpoint: 'full' recomputes everything
+    # (reference torch.utils.checkpoint semantics, fit_model.py:223-228);
+    # 'dots' saves matmul outputs and recomputes only the cheap elementwise
+    # chain (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) —
+    # much faster backward for a modest activation-memory increase.
+    remat_policy: str = 'full'
     # 'split' avoids the lane-hostile interleaved rotate_half (22% step-time
     # saving at XL); requires importer-side q/k basis permutation
     # (convert_fit_state_dict rope_layout) — outputs are bit-compatible.
     rope_layout: str = 'split'
+    # 'bf16' (default, full parity) or 'int8': W8A8 block GEMMs on the MXU's
+    # double-rate integer path (ops/quant.py) — opt-in speed mode for
+    # serving; same parameter tree, quantization at apply time.
+    gemm_precision: str = 'bf16'
 
     @property
     def out_channels(self) -> int:
@@ -110,6 +120,13 @@ class FiT(nn.Module):
             max_pe_len_w=self.max_pe_len_w, decouple=self.decouple,
             ori_max_pe_len=self.ori_max_pe_len, online=self.online_rope,
             layout=layout)
+
+    def _remat_policy(self):
+        if self.remat_policy == 'dots':
+            return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        if self.remat_policy == 'full':
+            return None  # save nothing, recompute everything
+        raise ValueError(f'unknown remat_policy: {self.remat_policy!r}')
 
     def _rope(self, grid: Array, size: Optional[Array]) -> Tuple[Array, Array]:
         cfg = self.rope_config()
@@ -161,13 +178,15 @@ class FiT(nn.Module):
             use_rope=self.rel_pos_embed is not None,
             add_rel_pe_to_v=self.add_rel_pe_to_v, dtype=self.dtype,
             attn_impl=self.attn_impl, save_attention=self.save_attention,
-            rope_layout=self.rope_layout)
+            rope_layout=self.rope_layout,
+            quantized=self.gemm_precision == 'int8')
 
         if self.scan_blocks:
             from flax.core import freeze
             body_cls = _ScanBlock
             if self.use_checkpoint:
-                body_cls = nn.remat(body_cls, prevent_cse=False)
+                body_cls = nn.remat(body_cls, prevent_cse=False,
+                                    policy=self._remat_policy())
             ScanBlocks = nn.scan(
                 body_cls,
                 variable_axes={'params': 0, 'intermediates': 0},
@@ -180,7 +199,8 @@ class FiT(nn.Module):
         else:
             block_cls = FiTBlock
             if self.use_checkpoint:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
+                block_cls = nn.remat(block_cls, prevent_cse=False,
+                                     policy=self._remat_policy())
             for i in range(self.depth):
                 x = block_cls(**block_kwargs, name=f'blocks_{i}')(
                     x, c, mask, freqs_cos, freqs_sin, global_adaln)

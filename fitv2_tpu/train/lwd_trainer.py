@@ -57,10 +57,20 @@ class LwDTrainerConfig:
 
 class LwDTrainer:
     def __init__(self, model, config: LwDTrainerConfig,
-                 teacher_apply=None, distill_solver_steps: int = 8):
-        """teacher_apply(x, t, batch) -> velocity enables teacher-trajectory
-        distillation (reference --distillation): segment targets come from
-        rolling the frozen teacher instead of the data interpolant."""
+                 teacher_apply=None, distill_solver_steps: int = 8,
+                 recipe: str = 'reflow', finetune_mode: str = 'replace',
+                 multi_scale_indices=(2, 7)):
+        """Recipes mirror the reference's LwD training entry scripts:
+          'reflow'      random-segment reflow + REPA (train_fitv2_lwd.py,
+                        train.py); with ``teacher_apply(x, t, batch) ->
+                        velocity`` targets come from rolling the frozen
+                        teacher (--distillation, train_fitv2_lwd.py:212-219)
+          'multiscale'  per-tier resolution schedule
+                        (train_fitv2_lwd_ms.py:682-886)
+          'finetune'    frozen-trunk mid-block representation forecaster
+                        (train_fitv2_lwd_finetune.py; mode replace/
+                        residual/blend)
+        """
         self.model = model
         self.cfg = config
         self.mesh = build_mesh(MeshConfig(
@@ -78,9 +88,22 @@ class LwDTrainer:
             step_fn = make_lwd_distill_step(model, teacher_apply, self.tx,
                                             distill_solver_steps,
                                             config.ema_decay)
-        else:
+        elif recipe == 'multiscale':
+            from fitv2_tpu.train.lwd_train_step import (
+                make_lwd_multiscale_train_step)
+            step_fn = make_lwd_multiscale_train_step(
+                model, self.tx, config.ema_decay,
+                multi_scale_indices=multi_scale_indices)
+        elif recipe == 'finetune':
+            from fitv2_tpu.train.lwd_train_step import make_lwd_finetune_step
+            step_fn = make_lwd_finetune_step(model, self.tx,
+                                             config.ema_decay,
+                                             mode=finetune_mode)
+        elif recipe == 'reflow':
             step_fn = make_lwd_train_step(model, self.tx, config.ema_decay,
                                           config.repa_weight)
+        else:
+            raise ValueError(f'unknown LwD recipe: {recipe!r}')
         # one compiled variant per (static) segment index
         self._jitted = {
             k: jax.jit(lambda s, b, r, k=k: step_fn(s, b, r, k))

@@ -59,8 +59,18 @@ class TrainerConfig:
     grad_accum_steps: int = 1
     # 'adamw' or 'came' (reference --came, train_fitv2.py:43,351-356)
     optimizer: str = 'adamw'
+    # Adam first-moment dtype. bf16 halves that state's HBM traffic
+    # (optimizer/EMA passes are memory-bound, ~18% of the XL step);
+    # grad-scale information lives in the fp32 second moment, so the
+    # training trajectory is unchanged to within bf16 rounding of mu.
+    # Set None for the reference-exact fp32.
+    mu_dtype: Optional[str] = 'bfloat16'
     ema_decay: float = 0.9999
     seed: int = 42
+    # objective: 'flow' (FiTv2 transport) or 'ddpm' (FiTv1 improved
+    # diffusion, reference train_fit.py)
+    objective: str = 'flow'
+    diffusion_steps: int = 1000
     # transport (reference create_transport defaults for FiTv2)
     path_type: str = 'Linear'
     prediction: str = 'velocity'
@@ -115,9 +125,23 @@ class Trainer:
             weight_decay=config.weight_decay,
             grad_accum_steps=config.grad_accum_steps,
             optimizer=config.optimizer,
+            mu_dtype=(jnp.dtype(config.mu_dtype)
+                      if config.mu_dtype else None),
             lr_schedule=schedule))
-        self._train_step = make_train_step(self.model, self.transport,
-                                           self.tx, config.ema_decay)
+        if config.objective == 'ddpm':
+            # FiTv1 path: improved-diffusion epsilon/vb objective
+            # (reference train_fit.py; learn_sigma models)
+            from fitv2_tpu.sched.gaussian_diffusion import create_diffusion
+            from fitv2_tpu.train.ddpm_train_step import make_ddpm_train_step
+            diffusion = create_diffusion(
+                timestep_respacing='',
+                diffusion_steps=config.diffusion_steps,
+                learn_sigma=model.learn_sigma)
+            self._train_step = make_ddpm_train_step(
+                self.model, diffusion, self.tx, config.ema_decay)
+        else:
+            self._train_step = make_train_step(self.model, self.transport,
+                                               self.tx, config.ema_decay)
 
     # -- state ----------------------------------------------------------------
 
@@ -194,7 +218,10 @@ class Trainer:
             state, metrics = run_one(batch_np, state)
             step += 1
             if step % cfg.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                # vector-valued entries (ddpm per_t_loss/t feeding the
+                # importance resampler) are not loggable scalars
+                m = {k: float(v) for k, v in metrics.items()
+                     if getattr(v, 'ndim', 0) == 0}
                 m['steps_per_sec'] = cfg.log_every / max(
                     time.time() - t0, 1e-9)
                 t0 = time.time()

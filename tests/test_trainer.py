@@ -46,6 +46,29 @@ def test_trainer_end_to_end_with_resume(tmp_path):
     assert int(state2.step) == 8
 
 
+def test_trainer_ddpm_objective_fitv1(tmp_path):
+    """objective='ddpm' runs the FiTv1 improved-diffusion step end-to-end
+    (reference train_fit.py; configs/fit_xl.yaml sets learn_sigma)."""
+    data_dir = str(tmp_path / 'data')
+    make_synthetic_latent_shards(data_dir, n=16, target_len=16, n_classes=10)
+    cfg = TrainerConfig(
+        data_path=data_dir, target_len=16, global_batch_size=8,
+        num_workers=2, max_steps=3, learning_rate=1e-3,
+        lr_schedule='constant', objective='ddpm', diffusion_steps=40,
+        output_dir=str(tmp_path / 'run'), checkpointing_steps=100,
+        log_every=1, seed=0, mesh_data=-1, mesh_fsdp=1, mesh_tensor=1)
+    model = FiT(context_size=16, patch_size=2, in_channels=4, hidden_size=32,
+                depth=2, num_heads=2, num_classes=10, learn_sigma=True,
+                use_sit=False, use_swiglu=True, use_swiglu_large=True,
+                adaln_type='normal', max_cached_len=8)
+    metrics = []
+    state = Trainer(model, cfg).train(
+        max_steps=3, resume=False,
+        metric_hook=lambda s, m: metrics.append(m))
+    assert int(state.step) == 3
+    assert all(np.isfinite(m['loss']) for m in metrics)
+
+
 def test_trainer_came_optimizer(tmp_path):
     """optimizer='came' trains end-to-end (reference --came,
     train_fitv2.py:43,351-356) with finite decreasing-capable loss."""

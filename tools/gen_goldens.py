@@ -307,7 +307,462 @@ def gen_transport():
     print('wrote transport.npz')
 
 
+
+
+# ---------------------------------------------------------------------------
+# 4. InceptionV3 golden (torchvision layout + pytorch-fid pooling patches)
+# ---------------------------------------------------------------------------
+# torchvision is not installed here, so we build an independent plain-torch
+# InceptionV3 with torchvision's module naming and pytorch-fid's pooling
+# patches (count_include_pad=False avg pools; Mixed_7c max-pool branch).
+# Random-initialized (incl. random BN running stats) — this validates the
+# flax architecture + BN-folding importer, the reference's trust anchor
+# being the TF1 graph (/root/reference/fit/utils/evaluator.py:15-23).
+
+import torch.nn as tnn
+
+
+class _BasicConv2d(tnn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def _avgp(x):  # 3x3/1 avg pool, count_include_pad=False (pytorch-fid)
+    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+
+
+class _IncA(tnn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = _BasicConv2d(cin, 64, kernel_size=1)
+        self.branch5x5_1 = _BasicConv2d(cin, 48, kernel_size=1)
+        self.branch5x5_2 = _BasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = _BasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _BasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = _BasicConv2d(cin, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(_avgp(x))
+        return torch.cat([b1, b5, b3, bp], 1)
+
+
+class _IncB(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = _BasicConv2d(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = _BasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            F.max_pool2d(x, 3, stride=2)], 1)
+
+
+class _IncC(tnn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = _BasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7_1 = _BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7_2 = _BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                        padding=(0, 3))
+        self.branch7x7_3 = _BasicConv2d(c7, 192, kernel_size=(7, 1),
+                                        padding=(3, 0))
+        self.branch7x7dbl_1 = _BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = _BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                           padding=(3, 0))
+        self.branch7x7dbl_3 = _BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                           padding=(0, 3))
+        self.branch7x7dbl_4 = _BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                           padding=(3, 0))
+        self.branch7x7dbl_5 = _BasicConv2d(c7, 192, kernel_size=(1, 7),
+                                           padding=(0, 3))
+        self.branch_pool = _BasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(_avgp(x))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class _IncD(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = _BasicConv2d(cin, 192, kernel_size=1)
+        self.branch3x3_2 = _BasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = _BasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = _BasicConv2d(192, 192, kernel_size=(1, 7),
+                                          padding=(0, 3))
+        self.branch7x7x3_3 = _BasicConv2d(192, 192, kernel_size=(7, 1),
+                                          padding=(3, 0))
+        self.branch7x7x3_4 = _BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+            self.branch7x7x3_1(x))))
+        return torch.cat([b3, b7, F.max_pool2d(x, 3, stride=2)], 1)
+
+
+class _IncE(tnn.Module):
+    def __init__(self, cin, max_pool=False):
+        super().__init__()
+        self.max_pool = max_pool
+        self.branch1x1 = _BasicConv2d(cin, 320, kernel_size=1)
+        self.branch3x3_1 = _BasicConv2d(cin, 384, kernel_size=1)
+        self.branch3x3_2a = _BasicConv2d(384, 384, kernel_size=(1, 3),
+                                         padding=(0, 1))
+        self.branch3x3_2b = _BasicConv2d(384, 384, kernel_size=(3, 1),
+                                         padding=(1, 0))
+        self.branch3x3dbl_1 = _BasicConv2d(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = _BasicConv2d(384, 384, kernel_size=(1, 3),
+                                            padding=(0, 1))
+        self.branch3x3dbl_3b = _BasicConv2d(384, 384, kernel_size=(3, 1),
+                                            padding=(1, 0))
+        self.branch_pool = _BasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.max_pool:
+            bp = F.max_pool2d(x, 3, stride=1, padding=1)
+        else:
+            bp = _avgp(x)
+        return torch.cat([b1, b3, bd, self.branch_pool(bp)], 1)
+
+
+class _TorchInceptionV3(tnn.Module):
+    def __init__(self, num_classes=1008):
+        super().__init__()
+        self.Conv2d_1a_3x3 = _BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = _BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = _BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = _BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = _BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = _IncA(192, 32)
+        self.Mixed_5c = _IncA(256, 64)
+        self.Mixed_5d = _IncA(288, 64)
+        self.Mixed_6a = _IncB(288)
+        self.Mixed_6b = _IncC(768, 128)
+        self.Mixed_6c = _IncC(768, 160)
+        self.Mixed_6d = _IncC(768, 160)
+        self.Mixed_6e = _IncC(768, 192)
+        self.Mixed_7a = _IncD(768)
+        self.Mixed_7b = _IncE(1280)
+        self.Mixed_7c = _IncE(2048, max_pool=True)
+        self.fc = tnn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Mixed_5b(x)
+        x = self.Mixed_5c(x)
+        x = self.Mixed_5d(x)
+        x = self.Mixed_6a(x)
+        x = self.Mixed_6b(x)
+        x = self.Mixed_6c(x)
+        x = self.Mixed_6d(x)
+        x = self.Mixed_6e(x)
+        # flatten in NHWC order (TF/ADM convention, matches the flax port)
+        spatial = x[:, :7].permute(0, 2, 3, 1).flatten(1)
+        x = self.Mixed_7a(x)
+        x = self.Mixed_7b(x)
+        x = self.Mixed_7c(x)
+        pool3 = x.mean(dim=(2, 3))
+        return pool3, spatial, self.fc(pool3)
+
+
+def gen_inception():
+    torch.manual_seed(7)
+    net = _TorchInceptionV3().eval()
+    # randomize BN running stats so folding is actually exercised
+    for m in net.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+            m.weight.data.uniform_(0.5, 1.5)
+            m.bias.data.normal_(0, 0.05)
+    imgs = torch.randint(0, 256, (4, 299, 299, 3), dtype=torch.uint8,
+                         generator=torch.Generator().manual_seed(11))
+    x = imgs.permute(0, 3, 1, 2).float() / 255.0 * 2.0 - 1.0
+    with torch.no_grad():
+        pool3, spatial, logits = net(x)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()
+          if 'num_batches' not in k}
+    np.savez(os.path.join(OUT, 'inception.npz'),
+             images=imgs.numpy(), pool3=pool3.numpy(),
+             spatial=spatial.numpy(), logits=logits.numpy(),
+             **{'sd:' + k: v for k, v in sd.items()})
+    print('wrote inception.npz')
+
+
+# ---------------------------------------------------------------------------
+# 5. Tiny diffusers-layout AutoencoderKL golden
+# ---------------------------------------------------------------------------
+# Independent plain-torch twin of the diffusers SD-VAE architecture
+# (the reference loads stabilityai/sd-vae-ft-ema via diffusers,
+# sample_fitv2_ddp.py:108-113) at a tiny config, with diffusers' module
+# naming so the golden also exercises vae/torch_import.convert_vae_state_dict.
+
+
+def _gn(c):
+    return tnn.GroupNorm(min(32, c), c, eps=1e-6)
+
+
+class _TResnet(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = _gn(cin)
+        self.conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = _gn(cout)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_shortcut = tnn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        sc = getattr(self, 'conv_shortcut', None)
+        return (sc(x) if sc is not None else x) + h
+
+
+class _TAttn(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.group_norm = _gn(c)
+        self.to_q = tnn.Linear(c, c)
+        self.to_k = tnn.Linear(c, c)
+        self.to_v = tnn.Linear(c, c)
+        self.to_out = tnn.ModuleList([tnn.Linear(c, c)])
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        h = self.group_norm(x).reshape(B, C, H * W).permute(0, 2, 1)
+        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+        attn = torch.softmax(q @ k.transpose(1, 2) * (C ** -0.5), dim=-1)
+        out = self.to_out[0](attn @ v)
+        return x + out.permute(0, 2, 1).reshape(B, C, H, W)
+
+    def state_dict(self, *a, **kw):  # diffusers names to_out.0
+        sd = super().state_dict(*a, **kw)
+        return {k.replace('to_out.0.', 'to_out.0.'): v for k, v in sd.items()}
+
+
+class _TMid(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.resnets = tnn.ModuleList([_TResnet(c, c), _TResnet(c, c)])
+        self.attentions = tnn.ModuleList([_TAttn(c)])
+
+    def forward(self, x):
+        x = self.resnets[0](x)
+        x = self.attentions[0](x)
+        return self.resnets[1](x)
+
+
+class _TDown(tnn.Module):
+    def __init__(self, cin, cout, layers, last):
+        super().__init__()
+        self.resnets = tnn.ModuleList(
+            [_TResnet(cin if j == 0 else cout, cout) for j in range(layers)])
+        if not last:
+            ds = tnn.Module()
+            ds.conv = tnn.Conv2d(cout, cout, 3, stride=2)
+            self.downsamplers = tnn.ModuleList([ds])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if hasattr(self, 'downsamplers'):
+            x = F.pad(x, (0, 1, 0, 1))
+            x = self.downsamplers[0].conv(x)
+        return x
+
+
+class _TUp(tnn.Module):
+    def __init__(self, cin, cout, layers, last):
+        super().__init__()
+        self.resnets = tnn.ModuleList(
+            [_TResnet(cin if j == 0 else cout, cout) for j in range(layers)])
+        if not last:
+            us = tnn.Module()
+            us.conv = tnn.Conv2d(cout, cout, 3, padding=1)
+            self.upsamplers = tnn.ModuleList([us])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if hasattr(self, 'upsamplers'):
+            x = F.interpolate(x, scale_factor=2.0, mode='nearest')
+            x = self.upsamplers[0].conv(x)
+        return x
+
+
+class _TinyVAE(tnn.Module):
+    def __init__(self, chans=(8, 16), latent=4):
+        super().__init__()
+        n = len(chans)
+        enc = tnn.Module()
+        enc.conv_in = tnn.Conv2d(3, chans[0], 3, padding=1)
+        enc.down_blocks = tnn.ModuleList([
+            _TDown(chans[max(i - 1, 0)], chans[i], 2, i == n - 1)
+            for i in range(n)])
+        enc.mid_block = _TMid(chans[-1])
+        enc.conv_norm_out = _gn(chans[-1])
+        enc.conv_out = tnn.Conv2d(chans[-1], 2 * latent, 3, padding=1)
+        self.encoder = enc
+        dec = tnn.Module()
+        rch = list(reversed(chans))
+        dec.conv_in = tnn.Conv2d(latent, rch[0], 3, padding=1)
+        dec.mid_block = _TMid(rch[0])
+        dec.up_blocks = tnn.ModuleList([
+            _TUp(rch[max(i - 1, 0)], rch[i], 3, i == n - 1)
+            for i in range(n)])
+        dec.conv_norm_out = _gn(rch[-1])
+        dec.conv_out = tnn.Conv2d(rch[-1], 3, 3, padding=1)
+        self.decoder = dec
+        self.quant_conv = tnn.Conv2d(2 * latent, 2 * latent, 1)
+        self.post_quant_conv = tnn.Conv2d(latent, latent, 1)
+
+    def encode(self, x):
+        h = self.encoder.conv_in(x)
+        for blk in self.encoder.down_blocks:
+            h = blk(h)
+        h = self.encoder.mid_block(h)
+        h = F.silu(self.encoder.conv_norm_out(h))
+        return self.quant_conv(self.encoder.conv_out(h))
+
+    def decode(self, z):
+        h = self.decoder.conv_in(self.post_quant_conv(z))
+        h = self.decoder.mid_block(h)
+        for blk in self.decoder.up_blocks:
+            h = blk(h)
+        h = F.silu(self.decoder.conv_norm_out(h))
+        return self.decoder.conv_out(h)
+
+
+def gen_vae():
+    torch.manual_seed(3)
+    net = _TinyVAE().eval()
+    x = torch.randn(2, 3, 32, 32, generator=torch.Generator().manual_seed(5))
+    z = torch.randn(2, 4, 4, 4, generator=torch.Generator().manual_seed(6))
+    with torch.no_grad():
+        moments = net.encode(x)
+        img = net.decode(z)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    np.savez(os.path.join(OUT, 'vae.npz'),
+             x=x.numpy(), z=z.numpy(), moments=moments.numpy(),
+             decoded=img.numpy(), **{'sd:' + k: v for k, v in sd.items()})
+    print('wrote vae.npz')
+
+
+
+
+# ---------------------------------------------------------------------------
+# 6. Mini OpenAI-CLIP visual tower golden
+# ---------------------------------------------------------------------------
+# Independent plain-torch twin of clip.model.VisionTransformer (the
+# reference's clip branch, fit/utils/utils.py:301-320, loads
+# clip.load('ViT-*/14').visual): conv1 without bias, class embedding,
+# positional embedding, ln_pre, MultiheadAttention resblocks with quickGELU
+# MLPs, ln_post + proj. State-dict keys use OpenAI clip naming so the
+# golden also exercises convert_clip_visual_state_dict.
+
+
+class _CLIPBlockT(tnn.Module):
+    def __init__(self, w, heads):
+        super().__init__()
+        self.ln_1 = tnn.LayerNorm(w, eps=1e-5)
+        self.attn = tnn.MultiheadAttention(w, heads, batch_first=True)
+        self.ln_2 = tnn.LayerNorm(w, eps=1e-5)
+        self.mlp = tnn.ModuleDict({'c_fc': tnn.Linear(w, 4 * w),
+                                   'c_proj': tnn.Linear(4 * w, w)})
+
+    def forward(self, x):
+        h = self.ln_1(x)
+        x = x + self.attn(h, h, h, need_weights=False)[0]
+        h = self.mlp['c_fc'](self.ln_2(x))
+        h = h * torch.sigmoid(1.702 * h)  # quickGELU
+        return x + self.mlp['c_proj'](h)
+
+
+class _MiniCLIPVisual(tnn.Module):
+    def __init__(self, img=32, patch=8, w=64, depth=3, heads=4, out=48):
+        super().__init__()
+        self.patch = patch
+        self.conv1 = tnn.Conv2d(3, w, patch, stride=patch, bias=False)
+        self.class_embedding = tnn.Parameter(torch.randn(w) * 0.1)
+        n = (img // patch) ** 2 + 1
+        self.positional_embedding = tnn.Parameter(torch.randn(n, w) * 0.1)
+        self.ln_pre = tnn.LayerNorm(w, eps=1e-5)
+        blocks = tnn.ModuleDict()
+        self.resblocks_list = tnn.ModuleList(
+            [_CLIPBlockT(w, heads) for _ in range(depth)])
+        self.ln_post = tnn.LayerNorm(w, eps=1e-5)
+        self.proj = tnn.Parameter(torch.randn(w, out) * 0.1)
+
+    def state_dict_clip(self):
+        """rename to OpenAI clip visual naming."""
+        sd = {}
+        for k, v in self.state_dict().items():
+            k = k.replace('resblocks_list.', 'transformer.resblocks.')
+            sd['visual.' + k] = v.numpy()
+        return sd
+
+    def forward(self, x):
+        h = self.conv1(x)                       # (B, W, gh, gw)
+        B, C, gh, gw = h.shape
+        h = h.reshape(B, C, gh * gw).permute(0, 2, 1)
+        cls = self.class_embedding[None, None].expand(B, 1, C)
+        h = torch.cat([cls, h], dim=1) + self.positional_embedding[None]
+        h = self.ln_pre(h)
+        for blk in self.resblocks_list:
+            h = blk(h)
+        tokens = h
+        pooled = self.ln_post(h[:, 0]) @ self.proj
+        return tokens, pooled
+
+
+def gen_clip():
+    torch.manual_seed(21)
+    net = _MiniCLIPVisual().eval()
+    x = torch.randn(2, 3, 32, 32, generator=torch.Generator().manual_seed(9))
+    with torch.no_grad():
+        tokens, pooled = net(x)
+    np.savez(os.path.join(OUT, 'clip.npz'),
+             x=x.numpy(), tokens=tokens.numpy(), pooled=pooled.numpy(),
+             **{'sd:' + k: v for k, v in net.state_dict_clip().items()})
+    print('wrote clip.npz')
+
+
+
 if __name__ == '__main__':
     gen_rope()
     gen_model_forward()
     gen_transport()
+    gen_inception()
+    gen_vae()
+    gen_clip()

@@ -1,0 +1,93 @@
+"""XL train-step throughput probe: remat policy x mu_dtype (VERDICT #5).
+
+Round-1 baseline: 81.9 img/s/chip at batch 16 (full remat, fp32 mu) —
+34 ms fwd + 113 ms full-remat bwd + ~35 ms optimizer/EMA traffic.
+
+Measures steady-state step time over pipelined dispatches (the tunnel's
+~36 ms single-call latency amortizes across queued steps).
+"""
+
+import os as _os, sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, 'tools')):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+# NOTE: do NOT set PYTHONPATH=/root/repo instead — it breaks the axon
+# TPU plugin registration (backend 'axon' fails to initialize).
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 16
+
+
+def run(remat_policy: str, mu_dtype):
+    from fitv2_tpu.flow.transport import create_transport
+    from fitv2_tpu.models.fit import FiT
+    from fitv2_tpu.train.train_step import (
+        OptimizerConfig, create_train_state, make_optimizer,
+        make_train_step)
+
+    model = FiT(
+        context_size=256, patch_size=2, in_channels=4, hidden_size=1152,
+        depth=36, num_heads=16, class_dropout_prob=0.1, num_classes=1000,
+        learn_sigma=False, use_sit=True, use_swiglu=True,
+        q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
+        adaln_lora_dim=288, custom_freqs='normal', max_cached_len=64,
+        use_checkpoint=True, remat_policy=remat_policy,
+        dtype=jnp.bfloat16)
+    transport = create_transport('Linear', 'velocity', snr_type='lognorm')
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-4,
+                                        mu_dtype=mu_dtype))
+    step = jax.jit(make_train_step(model, transport, tx),
+                   donate_argnums=(0,))
+
+    n_h = n_w = 16
+    gw, gh = np.meshgrid(np.arange(n_w), np.arange(n_h))
+    grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0)
+    batch = {
+        'feature': jnp.asarray(np.random.default_rng(0).standard_normal(
+            (BATCH, 256, 16)), jnp.float32),
+        'grid': jnp.asarray(np.broadcast_to(grid, (BATCH, 2, 256)),
+                            jnp.int32),
+        'mask': jnp.ones((BATCH, 256), jnp.float32),
+        'label': (jnp.arange(BATCH) % 1000).astype(jnp.int32),
+        'size': jnp.asarray(np.broadcast_to(np.array([[n_h, n_w]]),
+                                            (BATCH, 1, 2)), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(0)
+    import functools
+    params = jax.jit(functools.partial(model.init, train=True))(
+        {'params': rng, 'label_dropout': rng}, batch['feature'][:1],
+        jnp.zeros((1,)), batch['label'][:1], batch['grid'][:1],
+        batch['mask'][:1], batch['size'][:1])['params']
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params)
+    state = create_train_state(params, tx)
+
+    print(f'compiling remat={remat_policy} mu={mu_dtype}...', flush=True)
+    state, m = step(state, batch, rng)
+    jax.block_until_ready(m['loss'])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m['loss'])
+    dt = (time.perf_counter() - t0) / iters
+    print(f'train[remat={remat_policy:4s} mu={str(mu_dtype):8s}]: '
+          f'{dt*1e3:7.2f} ms/step  {BATCH/dt:6.1f} img/s/chip  '
+          f'loss={float(m["loss"]):.4f}', flush=True)
+
+
+if __name__ == '__main__':
+    combos = sys.argv[1:] or ['full:f32', 'dots:f32', 'dots:bf16']
+    print('backend:', jax.default_backend(), flush=True)
+    for c in combos:
+        policy, mu = c.split(':')
+        run(policy, jnp.bfloat16 if mu == 'bf16' else None)
+    print('DONE', flush=True)
