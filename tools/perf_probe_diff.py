@@ -13,6 +13,14 @@ Stages:
   fwd    — full XL forward step occupancy (sampler-style)
 """
 
+import os as _os, sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, 'tools')):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+# NOTE: do NOT set PYTHONPATH=/root/repo instead — it breaks the axon
+# TPU plugin registration (backend 'axon' fails to initialize).
+
 import sys
 import time
 
@@ -41,12 +49,19 @@ def diff_time(make_scan, x0):
 
 
 def stage_gemm():
+    """True GEMM occupancy. The feedback folds EVERY output column back
+    into the carry (pad n up to a multiple of k, reshape, sum) — a naive
+    `y[:, :k]` feedback lets XLA dead-code-eliminate the unused columns of
+    wide GEMMs, which is how round-1 recorded impossible >197 TFLOP/s
+    readings (v5e bf16 peak) for the qkv/fc1 shapes."""
     shapes = [('qkv ', 4096, 1152, 3456), ('proj', 4096, 1152, 1152),
-              ('fc1g', 4096, 1152, 3072), ('fc2 ', 4096, 3072, 1152)]
+              ('fc1g', 4096, 1152, 3072), ('fc1f', 4096, 1152, 6144),
+              ('fc2 ', 4096, 3072, 1152), ('sq4k', 4096, 4096, 4096)]
     for name, m, k, n in shapes:
         w = jax.random.normal(jax.random.PRNGKey(1), (k, n),
                               jnp.bfloat16) * (k ** -0.5)
         x0 = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+        c = -(-n // k)  # chunks of k columns
 
         def make(length):
             @jax.jit
@@ -54,11 +69,11 @@ def stage_gemm():
                 def body(x, _):
                     y = jax.lax.dot_general(
                         x, w, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32
-                    ).astype(jnp.bfloat16)
-                    x2 = y[:, :k] if y.shape[1] >= k else jnp.pad(
-                        y, ((0, 0), (0, k - y.shape[1])))
-                    return x2, None
+                        preferred_element_type=jnp.float32)
+                    if c * k != n:
+                        y = jnp.pad(y, ((0, 0), (0, c * k - n)))
+                    x2 = y.reshape(m, c, k).sum(1).astype(jnp.bfloat16)
+                    return x2 * 1e-3, None
                 x, _ = jax.lax.scan(body, x, None, length=length)
                 return x
             return run

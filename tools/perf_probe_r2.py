@@ -10,6 +10,14 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/perf_probe_r2.py [stage...]
 Stages: iso fwd batch (default: iso fwd)
 """
 
+import os as _os, sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, 'tools')):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+# NOTE: do NOT set PYTHONPATH=/root/repo instead — it breaks the axon
+# TPU plugin registration (backend 'axon' fails to initialize).
+
 import sys
 import time
 
