@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument('--vae', default=None,
                    help='sd-vae safetensors/bin; omit to emit raw latents')
     p.add_argument('--out', default='samples.npz')
+    p.add_argument('--gemm-precision', default=None,
+                   choices=['bf16', 'int8'],
+                   help="override network gemm_precision; 'int8' runs the "
+                        'block GEMMs on the double-rate W8A8 MXU path '
+                        '(ops/quant.py) — a serving speed mode')
     return p.parse_args(argv)
 
 
@@ -50,6 +55,8 @@ def main(argv=None):
     from fitv2_tpu.utils.config import _to_plain
     cfg = _to_plain(load_config(args.cfgdir))
     net = cfg['diffusion']['network_config']
+    if args.gemm_precision:
+        net.setdefault('params', {})['gemm_precision'] = args.gemm_precision
     model = config_to_model(net)
     params = init_from_ckpt(
         args.ckpt, depth=model.depth,

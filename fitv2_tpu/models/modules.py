@@ -113,6 +113,16 @@ class Dense(nn.Dense):
     bias_init: Callable = zeros
 
 
+def _dense(quantized: bool):
+    """Dense factory for the hot GEMMs: bf16 MXU by default, int8 (W8A8,
+    394 TOP/s on v5e — double the bf16 rate) when the model opts in via
+    FiT(gemm_precision='int8'). Param trees are identical either way."""
+    if quantized:
+        from fitv2_tpu.ops.quant import Int8Dense
+        return Int8Dense
+    return Dense
+
+
 class PatchEmbedder(nn.Module):
     """Linear projection of p**2*C latent patches (reference modules.py:19-37)."""
     embed_dim: int
@@ -183,23 +193,29 @@ class LabelEmbedder(nn.Module):
 class SwiGLU(nn.Module):
     """timm-style SwiGLU MLP: fc2(silu(fc1_g(x)) * fc1_x(x)).
 
-    Matches timm.layers.mlp.SwiGLU as used at reference modules.py:247-251;
-    param names fc1_g/fc1_x/fc2 mirror the checkpoint keys.
+    Matches timm.layers.mlp.SwiGLU as used at reference modules.py:247-251.
+    The two up-projections run as ONE fused (D, 2H) GEMM named ``fc1`` with
+    column layout [g | x]: one MXU pass with twice the output width instead
+    of two narrow passes over the same input (measured on v5e: the split
+    4096x1152x3072 GEMMs run at 172 TFLOP/s vs 249 for wide-N shapes).
+    The checkpoint importer/exporter concatenates/splits the timm
+    fc1_g/fc1_x keys, so published weights round-trip bit-exactly.
     """
     hidden_features: int
     out_features: Optional[int] = None
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         out = self.out_features or x.shape[-1]
-        g = Dense(self.hidden_features, use_bias=self.use_bias, dtype=self.dtype,
-                  name='fc1_g')(x)
-        v = Dense(self.hidden_features, use_bias=self.use_bias, dtype=self.dtype,
-                  name='fc1_x')(x)
-        return Dense(out, use_bias=self.use_bias, dtype=self.dtype,
-                     name='fc2')(nn.silu(g) * v)
+        D = _dense(self.quantized)
+        gv = D(2 * self.hidden_features, use_bias=self.use_bias,
+               dtype=self.dtype, name='fc1')(x)
+        g, v = jnp.split(gv, 2, axis=-1)
+        return D(out, use_bias=self.use_bias, dtype=self.dtype,
+                 name='fc2')(nn.silu(g) * v)
 
 
 class Mlp(nn.Module):
@@ -208,14 +224,16 @@ class Mlp(nn.Module):
     out_features: Optional[int] = None
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         out = self.out_features or x.shape[-1]
-        x = Dense(self.hidden_features, use_bias=self.use_bias, dtype=self.dtype,
-                  name='fc1')(x)
+        D = _dense(self.quantized)
+        x = D(self.hidden_features, use_bias=self.use_bias, dtype=self.dtype,
+              name='fc1')(x)
         x = nn.gelu(x, approximate=True)
-        return Dense(out, use_bias=self.use_bias, dtype=self.dtype, name='fc2')(x)
+        return D(out, use_bias=self.use_bias, dtype=self.dtype, name='fc2')(x)
 
 
 class Attention(nn.Module):
@@ -236,6 +254,7 @@ class Attention(nn.Module):
     attn_impl: str = 'auto'  # 'auto' | 'xla' | 'pallas'
     save_attention: bool = False  # sow probs for viz (reference fit_model.py:302-331)
     rope_layout: str = 'interleaved'  # 'split' = TPU-fast basis (see rope.py)
+    quantized: bool = False  # int8 W8A8 qkv/proj GEMMs (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None,
@@ -244,8 +263,8 @@ class Attention(nn.Module):
         B, N, C = x.shape
         H = self.num_heads
         Dh = C // H
-        qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                    name='qkv')(x)
+        qkv = _dense(self.quantized)(3 * C, use_bias=self.qkv_bias,
+                                     dtype=self.dtype, name='qkv')(x)
 
         # Fused megakernel path (qk-LN + split-RoPE + masked attention in one
         # Pallas kernel straight off the flat qkv projection). MEASURED on
@@ -264,7 +283,8 @@ class Attention(nn.Module):
                     qkv, freqs_cos, freqs_sin, mask, H,
                     norm_q=self.q_norm == 'layernorm',
                     norm_k=self.k_norm == 'layernorm')
-                return Dense(C, dtype=self.dtype, name='proj')(out)
+                return _dense(self.quantized)(C, dtype=self.dtype,
+                                              name='proj')(out)
         # split on the minor dim (layout-friendly: measured 1.9% faster than
         # reshape(B,N,3,H,Dh) + middle-axis indexing, which makes XLA insert
         # a full-tensor relayout copy per block on TPU; a k-major
@@ -321,7 +341,7 @@ class Attention(nn.Module):
         out = out.reshape(B, N, C)
         if mask is not None:
             out = out * mask.astype(out.dtype)[..., None]  # zero padded queries
-        return Dense(C, dtype=self.dtype, name='proj')(out)
+        return _dense(self.quantized)(C, dtype=self.dtype, name='proj')(out)
 
 
 class AdaLNModulation(nn.Module):
@@ -382,6 +402,7 @@ class FiTBlock(nn.Module):
     attn_impl: str = 'auto'
     save_attention: bool = False
     rope_layout: str = 'interleaved'
+    quantized: bool = False  # int8 W8A8 on qkv/proj/fc1/fc2 (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: Array, c: Array, mask: Optional[Array],
@@ -403,7 +424,7 @@ class FiTBlock(nn.Module):
             use_rope=self.use_rope, add_rel_pe_to_v=self.add_rel_pe_to_v,
             dtype=self.dtype, attn_impl=self.attn_impl,
             save_attention=self.save_attention,
-            rope_layout=self.rope_layout,
+            rope_layout=self.rope_layout, quantized=self.quantized,
             name='attn')(h, mask, freqs_cos, freqs_sin)
         x = x + _expand_mod(gate_msa, x) * attn_out
 
@@ -413,10 +434,10 @@ class FiTBlock(nn.Module):
         if self.swiglu:
             hidden = mlp_hidden if self.swiglu_large else (mlp_hidden * 2) // 3
             mlp_out = SwiGLU(hidden, use_bias=self.ffn_bias, dtype=self.dtype,
-                             name='mlp')(h)
+                             quantized=self.quantized, name='mlp')(h)
         else:
             mlp_out = Mlp(mlp_hidden, use_bias=self.ffn_bias, dtype=self.dtype,
-                          name='mlp')(h)
+                          quantized=self.quantized, name='mlp')(h)
         return x + _expand_mod(gate_mlp, x) * mlp_out
 
 
