@@ -189,7 +189,10 @@ class FiT(nn.Module):
                                     policy=self._remat_policy())
             ScanBlocks = nn.scan(
                 body_cls,
-                variable_axes={'params': 0, 'intermediates': 0},
+                # quant_calib / quant_weights: per-block int8 activation
+                # scales and prequantized kernels (ops/quant.py)
+                variable_axes={'params': 0, 'intermediates': 0,
+                               'quant_calib': 0, 'quant_weights': 0},
                 split_rngs={'params': True, 'label_dropout': True},
                 length=self.depth,
                 in_axes=nn.broadcast,

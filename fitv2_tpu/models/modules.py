@@ -196,10 +196,13 @@ class SwiGLU(nn.Module):
     Matches timm.layers.mlp.SwiGLU as used at reference modules.py:247-251.
     The two up-projections run as ONE fused (D, 2H) GEMM named ``fc1`` with
     column layout [g | x]: one MXU pass with twice the output width instead
-    of two narrow passes over the same input (measured on v5e: the split
-    4096x1152x3072 GEMMs run at 172 TFLOP/s vs 249 for wide-N shapes).
-    The checkpoint importer/exporter concatenates/splits the timm
-    fc1_g/fc1_x keys, so published weights round-trip bit-exactly.
+    of two narrow passes over the same input. Isolated A/B of the full MLP
+    on v5e (tools/perf_probe_diff.py stage_swiglu, M=4096): fused 494 us
+    (176 TFLOP/s) vs split 987 us (88 TFLOP/s); end-to-end the sampler is
+    within noise of the split layout, so the fused form is kept for the
+    single-pass input read. The checkpoint importer/exporter concatenates/
+    splits the timm fc1_g/fc1_x keys, so published weights round-trip
+    bit-exactly.
     """
     hidden_features: int
     out_features: Optional[int] = None
@@ -337,7 +340,13 @@ class Attention(nn.Module):
                                    float('-inf'))
             probs = jax.nn.softmax(logits, axis=-1)
             self.sow('intermediates', 'attn_probs', probs)
-        out = masked_attention(q, k, v, mask, impl=self.attn_impl)  # (B, N, H, Dh)
+        # no-affine LayerNorm on BOTH q and k bounds every row to L2 norm
+        # sqrt(Dh), hence |logit| <= sqrt(Dh) — the softmax can skip its
+        # max-subtraction pass (see ops/attention.py bounded_logits)
+        bounded = (self.q_norm == 'layernorm' and self.k_norm == 'layernorm'
+                   and not self.qk_norm_weight)
+        out = masked_attention(q, k, v, mask, impl=self.attn_impl,
+                               bounded_logits=bounded)  # (B, N, H, Dh)
         out = out.reshape(B, N, C)
         if mask is not None:
             out = out * mask.astype(out.dtype)[..., None]  # zero padded queries

@@ -29,7 +29,7 @@ TPU-hardware-native capability, exposed like torch's quantized backends.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,12 +54,21 @@ def quantize_symmetric(x: Array, axis: int,
 
 def int8_matmul(x: Array, w_q: Array, w_scale: Array,
                 bias: Optional[Array] = None,
-                out_dtype=jnp.bfloat16) -> Array:
-    """y = x @ dequant(w_q) with dynamic per-row int8 activation quant.
+                out_dtype=jnp.bfloat16,
+                act_scale: Optional[Array] = None) -> Array:
+    """y = x @ dequant(w_q) with int8 activation quant.
 
     x: (..., K) float; w_q: (K, N) int8; w_scale: (1, N) fp32.
+    act_scale: optional precomputed scalar scale (static calibrated mode —
+    the absmax reduce disappears and the scale/round/cast fuses into the
+    producer of x); None = dynamic per-row absmax.
     """
-    xq, x_scale = quantize_symmetric(x, axis=-1)
+    if act_scale is None:
+        xq, x_scale = quantize_symmetric(x, axis=-1)
+    else:
+        x_scale = act_scale.astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                      -127, 127).astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -76,6 +85,13 @@ class Int8Dense(nn.Module):
     Parameters keep nn.Dense's names/shapes/dtypes ('kernel' (K, N), 'bias'),
     so checkpoints, importers and exporters are unchanged; quantization
     happens at apply time and is loop-hoisted by XLA for sampling scans.
+
+    Activation scales: dynamic per-row absmax by default. When a calibrated
+    ``quant_calib`` collection is bound (see ``calibrate_quant_scales``),
+    the stored per-site scalar absmax is used instead — the absmax reduce
+    disappears from the hot path. During a calibration pass
+    (apply(..., mutable=['quant_calib'])) the site records
+    max(127-quantile absmax seen) while still computing dynamically.
     """
     features: int
     use_bias: bool = True
@@ -91,6 +107,67 @@ class Int8Dense(nn.Module):
                             jnp.float32)
         bias = (self.param('bias', self.bias_init, (self.features,),
                            jnp.float32) if self.use_bias else None)
-        w_q, w_scale = quantize_symmetric(kernel, axis=0)
+
+        # Weight quantization. Inside a sampling scan the per-block stacked
+        # kernels make the quantize a PER-BLOCK computation XLA cannot hoist
+        # out of the outer step loop (LICM does not lift whole inner loops),
+        # so re-quantizing costs ~2 ms/step at XL. ``prequantize_weights``
+        # stores int8 kernels + scales in the ``quant_weights`` collection
+        # once; when bound, the bf16 kernels are dead and DCE'd.
+        prepping = self.is_mutable_collection('quant_weights')
+        if prepping or self.has_variable('quant_weights', 'kernel_q'):
+            wq_v = self.variable('quant_weights', 'kernel_q',
+                                 lambda: quantize_symmetric(kernel, 0)[0])
+            ws_v = self.variable('quant_weights', 'w_scale',
+                                 lambda: quantize_symmetric(kernel, 0)[1])
+            if prepping:
+                wq_v.value, ws_v.value = quantize_symmetric(kernel, axis=0)
+            w_q, w_scale = wq_v.value, ws_v.value
+        else:
+            w_q, w_scale = quantize_symmetric(kernel, axis=0)
+
+        calibrating = self.is_mutable_collection('quant_calib')
+        has_scale = self.has_variable('quant_calib', 'act_absmax')
+        if calibrating or has_scale:
+            amax_var = self.variable('quant_calib', 'act_absmax',
+                                     lambda: jnp.zeros((), jnp.float32))
+            if calibrating:
+                batch_amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                amax_var.value = jnp.maximum(amax_var.value, batch_amax)
+            else:
+                amax = jnp.maximum(amax_var.value, 1e-12)
+                return int8_matmul(x, w_q, w_scale.reshape(1, -1), bias,
+                                   out_dtype=self.dtype,
+                                   act_scale=amax / 127.0)
         return int8_matmul(x, w_q, w_scale.reshape(1, -1), bias,
                            out_dtype=self.dtype)
+
+
+def prequantize_weights(model, params, example_args):
+    """One-time weight quantization pass; returns the ``quant_weights``
+    collection (int8 kernels + per-channel scales, scan-stacked where the
+    model scans). Bind it at serving time together with ``params``:
+        model.apply({'params': p, 'quant_weights': qw}, *args)
+    """
+    _, mut = model.apply({'params': params}, *example_args,
+                         mutable=['quant_weights'])
+    return mut['quant_weights']
+
+
+def calibrate_quant_scales(model, params, apply_batches,
+                           variables_extra: Optional[Dict] = None):
+    """Run calibration forwards and return the ``quant_calib`` collection.
+
+    apply_batches: iterable of argument-tuples for ``model.apply`` (the
+    positional args after the variables dict). Returns the folded
+    quant_calib tree; bind it at serving time:
+        model.apply({'params': p, 'quant_calib': calib}, *args)
+    """
+    calib = {}
+    for args in apply_batches:
+        variables = {'params': params, **(variables_extra or {})}
+        if calib:
+            variables['quant_calib'] = calib
+        _, mut = model.apply(variables, *args, mutable=['quant_calib'])
+        calib = mut['quant_calib']
+    return calib

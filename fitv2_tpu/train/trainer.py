@@ -100,6 +100,11 @@ class Trainer:
                  loader: Optional[Any] = None):
         if config.mixed_precision == 'bf16' and model.dtype == jnp.float32:
             model = model.clone(dtype=jnp.bfloat16)
+        if getattr(model, 'gemm_precision', 'bf16') == 'int8':
+            # int8 rounding has zero gradient — the W8A8 path is a
+            # sampling/serving speed mode only (ops/quant.py)
+            raise ValueError("gemm_precision='int8' is inference-only; "
+                             "train in bf16 and quantize for serving")
         self.model = model
         self.cfg = config
         self.transport = transport or create_transport(

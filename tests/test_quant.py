@@ -51,6 +51,93 @@ def test_int8dense_param_tree_matches_dense():
         jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)))
 
 
+def test_calibrated_static_scales():
+    """calibrate_quant_scales records per-site absmax; the calibrated apply
+    matches the dynamic path closely and skips the absmax reduce."""
+    from fitv2_tpu.ops.quant import Int8Dense, calibrate_quant_scales
+    rng = np.random.default_rng(2)
+    x1 = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((4, 32)) * 2.0, jnp.float32)
+    d = Int8Dense(16, dtype=jnp.float32)
+    params = d.init(jax.random.PRNGKey(0), x1)['params']
+    calib = calibrate_quant_scales(d, params, [(x1,), (x2,)])
+    assert float(calib['act_absmax']) > 0
+    y_dyn = d.apply({'params': params}, x2)
+    y_cal = d.apply({'params': params, 'quant_calib': calib}, x2)
+    rel = float(jnp.linalg.norm(y_cal - y_dyn) /
+                (jnp.linalg.norm(y_dyn) + 1e-12))
+    assert rel < 0.05, rel
+
+
+def test_fit_int8_calibrated_forward():
+    """model-level: calibrate on one batch, serve with static scales."""
+    from fitv2_tpu.models.fit import FiT
+    from fitv2_tpu.models.grid_utils import make_grid_mask_size
+    from fitv2_tpu.ops.quant import calibrate_quant_scales
+
+    kw = dict(context_size=16, patch_size=2, in_channels=4, hidden_size=64,
+              depth=2, num_heads=4, num_classes=10, learn_sigma=False,
+              use_sit=True, use_swiglu=True, q_norm='layernorm',
+              k_norm='layernorm', adaln_type='lora', adaln_lora_dim=16,
+              max_cached_len=8)
+    m_ref = FiT(**kw)
+    m_q = FiT(**kw, gemm_precision='int8')
+    grid, mask, size = make_grid_mask_size(2, 4, 4, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16), jnp.float32)
+    t = jnp.full((2,), 0.4, jnp.float32)
+    y = jnp.asarray([1, 2], jnp.int32)
+    params = m_ref.init(jax.random.PRNGKey(0), x, t, y, grid, mask, size)[
+        'params']
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for k, l in zip(keys, leaves)])
+    calib = calibrate_quant_scales(m_q, params,
+                                   [(x, t, y, grid, mask, size)])
+    # scan-stacked sites carry a per-block leading axis
+    o_ref = m_ref.apply({'params': params}, x, t, y, grid, mask, size)
+    o_cal = m_q.apply({'params': params, 'quant_calib': calib},
+                      x, t, y, grid, mask, size)
+    a = np.asarray(o_ref, np.float64).ravel()
+    b = np.asarray(o_cal, np.float64).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, cos
+
+
+def test_prequantized_weights_match_dynamic():
+    """prequantize_weights stores int8 kernels once; bound apply is
+    bit-identical to quantize-at-apply (same math, hoisted)."""
+    from fitv2_tpu.models.fit import FiT
+    from fitv2_tpu.models.grid_utils import make_grid_mask_size
+    from fitv2_tpu.ops.quant import prequantize_weights
+
+    kw = dict(context_size=16, patch_size=2, in_channels=4, hidden_size=64,
+              depth=2, num_heads=4, num_classes=10, learn_sigma=False,
+              use_sit=True, use_swiglu=True, q_norm='layernorm',
+              k_norm='layernorm', adaln_type='lora', adaln_lora_dim=16,
+              max_cached_len=8, gemm_precision='int8')
+    m = FiT(**kw)
+    grid, mask, size = make_grid_mask_size(2, 4, 4, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16), jnp.float32)
+    t = jnp.full((2,), 0.4, jnp.float32)
+    y = jnp.asarray([1, 2], jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), x, t, y, grid, mask, size)[
+        'params']
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for k, l in zip(keys, leaves)])
+    args = (x, t, y, grid, mask, size)
+    qw = prequantize_weights(m, params, args)
+    kq = jax.tree_util.tree_leaves(qw)
+    assert any(l.dtype == jnp.int8 for l in kq)
+    o_dyn = m.apply({'params': params}, *args)
+    o_pre = m.apply({'params': params, 'quant_weights': qw}, *args)
+    np.testing.assert_array_equal(np.asarray(o_dyn), np.asarray(o_pre))
+
+
 def test_fit_int8_forward_close_to_bf16():
     """FiT(gemm_precision='int8') runs with the SAME params as the default
     model and stays directionally faithful (cosine > 0.99 on the velocity

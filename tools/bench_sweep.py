@@ -15,6 +15,7 @@ for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, 'tools')):
     if _p not in _sys.path:
         _sys.path.insert(0, _p)
 
+import functools
 import sys
 import time
 
@@ -37,7 +38,7 @@ def build_model(precision):
         dtype=jnp.bfloat16, gemm_precision=precision)
 
 
-def make_sampler(model, batch):
+def make_sampler(model, batch, calib=None):
     b2 = 2 * batch
     n_h = n_w = 16
     n_ctx = 256
@@ -51,14 +52,17 @@ def make_sampler(model, batch):
                          jnp.full((batch,), 1000, jnp.int32)])
     sigmas = jnp.linspace(0.0, 1.0, STEPS + 1)
 
-    @jax.jit
-    def sample(params, z):
+    # quant collections ride as jit ARGUMENTS — closing over them embeds
+    # ~0.7 GB of prequantized weights as HLO constants (the tunnel's
+    # remote_compile rejects the payload with HTTP 413)
+    @functools.partial(jax.jit, static_argnums=())
+    def sample(params, extra, z):
         def step(z, pair):
             t_cur, t_next = pair[0], pair[1]
             z2 = jnp.concatenate([z, z], axis=0)
             t2 = jnp.full((b2,), t_cur, jnp.float32)
-            out = model.apply({'params': params}, z2, t2, y, grid, mask,
-                              size)
+            out = model.apply({'params': params, **extra},
+                              z2, t2, y, grid, mask, size)
             cond, uncond = jnp.split(out.astype(jnp.float32), 2, axis=0)
             v = uncond + CFG_SCALE * (cond - uncond)
             return z + (t_next - t_cur) * v, None
@@ -67,13 +71,18 @@ def make_sampler(model, batch):
         z, _ = jax.lax.scan(step, z, pairs)
         return z
 
+    extra = calib or {}
+
+    def sample_bound(params, z):
+        return sample(params, extra, z)
+
     def fwd(params, z, t):
         b = z.shape[0]
         return model.apply(
             {'params': params}, z, jnp.full((b,), t, jnp.float32), y[:b],
             grid[:b], mask[:b], size[:b])
 
-    return sample, jax.jit(fwd)
+    return sample_bound, jax.jit(fwd)
 
 
 def init_params(batch=8):
@@ -114,10 +123,37 @@ def main():
     rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
     print(f'int8 fidelity: cos={cos:.6f} relL2={rel:.4f}', flush=True)
 
-    for precision in ('bf16', 'int8'):
-        model = build_model(precision)
+    precisions = tuple((_os.environ.get('SWEEP_PRECISIONS') or
+                        'bf16,int8,int8cal').split(','))
+    for precision in precisions:
+        model = build_model('int8' if precision == 'int8cal' else precision)
+        calib = None
+        if precision == 'int8cal':
+            # one-batch calibration: static per-site activation scales
+            # + one-time weight prequantization
+            from fitv2_tpu.ops.quant import (calibrate_quant_scales,
+                                             prequantize_weights)
+            gw, gh = np.meshgrid(np.arange(16), np.arange(16))
+            g = jnp.asarray(np.broadcast_to(
+                np.stack([gw.reshape(-1), gh.reshape(-1)], 0),
+                (16, 2, 256)), jnp.int32)
+            mk = jnp.ones((16, 256), jnp.float32)
+            sz = jnp.asarray(np.broadcast_to(np.array([[16, 16]]),
+                                             (16, 1, 2)), jnp.int32)
+            yy = (jnp.arange(16) % 1000).astype(jnp.int32)
+            zz = jax.random.normal(jax.random.PRNGKey(9), (16, 256, 16),
+                                   jnp.float32)
+            cal = calibrate_quant_scales(
+                model, params,
+                [(zz * s, jnp.full((16,), t, jnp.float32), yy, g, mk, sz)
+                 for s, t in ((1.0, 0.1), (0.8, 0.5), (0.6, 0.9))])
+            qw = prequantize_weights(
+                model, params,
+                (zz, jnp.full((16,), 0.5, jnp.float32), yy, g, mk, sz))
+            calib = {'quant_calib': cal, 'quant_weights': qw}
+            print('calibrated + prequantized', flush=True)
         for batch in batches:
-            sample, _ = make_sampler(model, batch)
+            sample, _ = make_sampler(model, batch, calib)
             z0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 16),
                                    jnp.float32)
             print(f'compiling {precision} batch={batch}...', flush=True)

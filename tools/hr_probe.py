@@ -1,0 +1,189 @@
+"""HR (1024-token) path roofline: where does 0.147 img/s go? (VERDICT #9)
+
+Round-1 measured 0.147 img/s at 512px (1024 tokens, online decoupled-NTK
+RoPE, Pallas flash attention) with no breakdown. Scaling from the 256-token
+step: GEMM FLOPs x4, attention matmuls x16, softmax traffic x4 -> expected
+~0.19-0.21 img/s at equal MFU. This probe separates the suspects:
+
+  fwd-cached   full XL fwd, CACHED rope tables (upper bound, no online cost)
+  fwd-online   full XL fwd, online decoupled NTK recompute per call
+  attn         N=1024 attention: Pallas flash vs XLA chain (bf16 logits)
+  sampler      end-to-end 250-step HR throughput (cached + online)
+
+Run from /root/repo (never clobber PYTHONPATH): python tools/hr_probe.py
+"""
+
+import os as _os, sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, 'tools')):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_CTX = 1024
+N_H = N_W = 32  # 512px / 8 / 2
+B = 2           # HR batch (memory-bound); b2 = 4 with CFG
+
+
+def build_hr(online: bool, precision: str = 'bf16'):
+    from fitv2_tpu.models.fit import FiT
+    # config_fitv2_hr_xl.yaml: ntk-aware decoupled, ori_max_pe_len 16
+    return FiT(
+        context_size=N_CTX, patch_size=2, in_channels=4, hidden_size=1152,
+        depth=36, num_heads=16, class_dropout_prob=0.1, num_classes=1000,
+        learn_sigma=False, use_sit=True, use_swiglu=True,
+        q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
+        adaln_lora_dim=288,
+        custom_freqs='ntk-aware' if online else 'normal',
+        online_rope=online, decouple=online, ori_max_pe_len=16,
+        max_cached_len=32, dtype=jnp.bfloat16,
+        gemm_precision=precision)
+
+
+def make_inputs(b2):
+    gw, gh = np.meshgrid(np.arange(N_W), np.arange(N_H))
+    grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0)
+    grid = jnp.asarray(np.broadcast_to(grid, (b2, 2, N_CTX)), jnp.int32)
+    mask = jnp.ones((b2, N_CTX), jnp.float32)
+    size = jnp.asarray(np.broadcast_to(np.array([[N_H, N_W]]), (b2, 1, 2)),
+                       jnp.int32)
+    y = (jnp.arange(b2) % 1000).astype(jnp.int32)
+    return grid, mask, size, y
+
+
+def init_params(model, grid, mask, size, y):
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, N_CTX, 16), jnp.float32),
+        jnp.zeros((1,)), y[:1], grid[:1], mask[:1], size[:1])['params']
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params)
+
+
+def occupancy(model, params, grid, mask, size, y, l1=6, l2=24):
+    b2 = grid.shape[0]
+    t = jnp.full((b2,), 0.5, jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (b2, N_CTX, 16),
+                           jnp.bfloat16)
+
+    def make(length):
+        @jax.jit
+        def run(x):
+            def body(x, _):
+                o = model.apply({'params': params}, x, t, y, grid, mask,
+                                size)
+                return (x + 0.001 * o).astype(x.dtype), None
+            x, _ = jax.lax.scan(body, x, None, length=length)
+            return x
+        return run
+
+    f1, f2 = make(l1), make(l2)
+    for f in (f1, f2):
+        jax.block_until_ready(f(x0))
+    t0 = time.perf_counter(); jax.block_until_ready(f1(x0))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); jax.block_until_ready(f2(x0))
+    t2 = time.perf_counter() - t0
+    return (t2 - t1) / (l2 - l1)
+
+
+def stage_fwd():
+    b2 = 2 * B
+    grid, mask, size, y = make_inputs(b2)
+    for online in (False, True):
+        model = build_hr(online)
+        params = init_params(model, grid, mask, size, y)
+        print(f'compiling fwd online={online}...', flush=True)
+        dt = occupancy(model, params, grid, mask, size, y)
+        # real FLOPs/NFE at 1024 tokens: 4x GEMM + 16x attn matmul
+        flops = (4 * 0.294e12 + 0) * (b2 / 2)  # per fwd (GEMM-dominated est)
+        print(f'HR fwd online={online}: {dt*1e3:8.2f} ms '
+              f'({flops/dt/1e12:5.1f} TFLOP/s GEMM-eff)', flush=True)
+
+
+def stage_attn():
+    from fitv2_tpu.ops.attention import _xla_masked_attention
+    from fitv2_tpu.ops.flash_attention import flash_masked_attention
+    b2, H, Dh = 2 * B, 16, 72
+    q = jax.random.normal(jax.random.PRNGKey(0), (b2, N_CTX, H, Dh),
+                          jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b2, N_CTX, H, Dh),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b2, N_CTX, H, Dh),
+                          jnp.bfloat16)
+    mask = jnp.ones((b2, N_CTX), jnp.float32)
+
+    for name, f in (('xla  ', _xla_masked_attention),
+                    ('flash', flash_masked_attention)):
+        def make(length, f=f):
+            @jax.jit
+            def run(q):
+                def body(q, _):
+                    o = f(q, k, v, mask)
+                    return (q + 0.001 * o).astype(q.dtype), None
+                q, _ = jax.lax.scan(body, q, None, length=length)
+                return q
+            return run
+        f1, f2 = make(12), make(48)
+        for g in (f1, f2):
+            jax.block_until_ready(g(q))
+        t0 = time.perf_counter(); jax.block_until_ready(f1(q))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); jax.block_until_ready(f2(q))
+        t2 = time.perf_counter() - t0
+        dt = (t2 - t1) / 36
+        print(f'HR attn {name}: {dt*1e6:8.1f} us/call', flush=True)
+
+
+def stage_sampler():
+    b2 = 2 * B
+    grid, mask, size, _ = make_inputs(b2)
+    y = jnp.concatenate([(jnp.arange(B) % 1000).astype(jnp.int32),
+                         jnp.full((B,), 1000, jnp.int32)])
+    for precision in ('bf16', 'int8'):
+        for online in (True,):
+            model = build_hr(online, precision)
+            params = init_params(model, grid, mask, size, y)
+            sigmas = jnp.linspace(0.0, 1.0, 251)
+
+            @jax.jit
+            def sample(params, z):
+                def step(z, pair):
+                    t_cur, t_next = pair[0], pair[1]
+                    z2 = jnp.concatenate([z, z], axis=0)
+                    t2 = jnp.full((b2,), t_cur, jnp.float32)
+                    out = model.apply({'params': params}, z2, t2, y, grid,
+                                      mask, size)
+                    cond, uncond = jnp.split(out.astype(jnp.float32), 2,
+                                             axis=0)
+                    vv = uncond + 1.65 * (cond - uncond)
+                    return z + (t_next - t_cur) * vv, None
+                pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
+                z, _ = jax.lax.scan(step, z, pairs)
+                return z
+
+            z0 = jax.random.normal(jax.random.PRNGKey(1), (B, N_CTX, 16),
+                                   jnp.float32)
+            print(f'compiling HR sampler {precision} online={online}...',
+                  flush=True)
+            sample(params, z0).block_until_ready()
+            t0 = time.perf_counter()
+            out = sample(params, z0)
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            print(f'HR sampler {precision}: {dt:7.2f} s -> '
+                  f'{B/dt:6.3f} img/s/chip', flush=True)
+
+
+if __name__ == '__main__':
+    print('backend:', jax.devices(), flush=True)
+    for s in sys.argv[1:] or ['fwd', 'attn', 'sampler']:
+        {'fwd': stage_fwd, 'attn': stage_attn,
+         'sampler': stage_sampler}[s]()
+    print('DONE', flush=True)

@@ -82,6 +82,102 @@ def stage_gemm():
               f'{2*m*k*n/dt/1e12:6.1f} TFLOP/s', flush=True)
 
 
+def stage_qgemm():
+    """int8 W8A8 path at the XL shapes: full (quant+dot+dequant) vs the
+    pure int8 dot, to separate MXU rate from quantization overhead."""
+    from fitv2_tpu.ops.quant import int8_matmul, quantize_symmetric
+    shapes = [('qkv ', 4096, 1152, 3456), ('proj', 4096, 1152, 1152),
+              ('fc1f', 4096, 1152, 6144), ('fc2 ', 4096, 3072, 1152)]
+    for name, m, k, n in shapes:
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, n),
+                              jnp.bfloat16) * (k ** -0.5)
+        wq, ws = quantize_symmetric(w, axis=0)
+        ws = ws.reshape(1, -1)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+        c = -(-n // k)
+
+        def fold(y):
+            if c * k != n:
+                y = jnp.pad(y, ((0, 0), (0, c * k - n)))
+            return (y.reshape(m, c, k).sum(1) * 1e-3).astype(jnp.bfloat16)
+
+        def make_full(length):
+            @jax.jit
+            def run(x):
+                def body(x, _):
+                    return fold(int8_matmul(x, wq, ws)), None
+                x, _ = jax.lax.scan(body, x, None, length=length)
+                return x
+            return run
+
+        xq0 = jnp.clip(jnp.round(x0.astype(jnp.float32)), -127, 127
+                       ).astype(jnp.int8)
+
+        def make_dot(length):
+            @jax.jit
+            def run(xq):
+                def body(xq, _):
+                    y = jax.lax.dot_general(
+                        xq, wq, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    if c * k != n:
+                        y = jnp.pad(y, ((0, 0), (0, c * k - n)))
+                    s = y.reshape(m, c, k).sum(1)
+                    return jnp.clip(s >> 8, -127, 127).astype(jnp.int8), None
+                xq, _ = jax.lax.scan(body, xq, None, length=length)
+                return xq
+            return run
+
+        dt_f = diff_time(make_full, x0)
+        dt_d = diff_time(make_dot, xq0)
+        print(f'qgemm {name}: full {dt_f*1e6:7.1f} us '
+              f'({2*m*k*n/dt_f/1e12:6.1f} TOP/s eff)  '
+              f'dot-only {dt_d*1e6:7.1f} us '
+              f'({2*m*k*n/dt_d/1e12:6.1f} TOP/s)', flush=True)
+
+
+def stage_swiglu():
+    """Clean fused-vs-split fc1 A/B: the full SwiGLU MLP (fc1 -> silu*mul
+    -> fc2) with identical feedback, so epilogue costs cancel."""
+    m, k, h = 4096, 1152, 3072
+    key = jax.random.PRNGKey(0)
+    wg = jax.random.normal(key, (k, h), jnp.bfloat16) * (k ** -0.5)
+    wx = jax.random.normal(jax.random.PRNGKey(1), (k, h),
+                           jnp.bfloat16) * (k ** -0.5)
+    wf = jnp.concatenate([wg, wx], axis=-1)  # fused [g | x]
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (h, k),
+                           jnp.bfloat16) * (h ** -0.5)
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (m, k), jnp.bfloat16)
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def split_mlp(x):
+        g = mm(x, wg).astype(jnp.bfloat16)
+        v = mm(x, wx).astype(jnp.bfloat16)
+        return mm(jax.nn.silu(g) * v, w2).astype(jnp.bfloat16)
+
+    def fused_mlp(x):
+        gv = mm(x, wf).astype(jnp.bfloat16)
+        g, v = jnp.split(gv, 2, axis=-1)
+        return mm(jax.nn.silu(g) * v, w2).astype(jnp.bfloat16)
+
+    for name, f in (('split', split_mlp), ('fused', fused_mlp)):
+        def make(length, f=f):
+            @jax.jit
+            def run(x):
+                def body(x, _):
+                    return f(x) * 1e-1, None
+                x, _ = jax.lax.scan(body, x, None, length=length)
+                return x
+            return run
+        dt = diff_time(make, x0)
+        fl = 2 * m * k * h * 2 + 2 * m * h * k
+        print(f'swiglu {name}: {dt*1e6:8.1f} us  {fl/dt/1e12:6.1f} TFLOP/s',
+              flush=True)
+
+
 def stage_attn():
     from fitv2_tpu.ops import fused_attention as fa
     B, N, H, Dh = 16, 256, 16, 72
@@ -115,12 +211,12 @@ def stage_block():
     from fitv2_tpu.models.modules import FiTBlock
     B, N, D, H = 16, 256, 1152, 16
     Dh = D // H
-    for impl in ('auto', 'fused'):
+    for impl, quant in (('auto', False), ('auto', True), ('fused', False)):
         block = FiTBlock(hidden_size=D, num_heads=H, swiglu=True,
                          q_norm='layernorm', k_norm='layernorm',
                          adaln_type='lora', adaln_lora_dim=288,
                          dtype=jnp.bfloat16, attn_impl=impl,
-                         rope_layout='split')
+                         rope_layout='split', quantized=quant)
         x0 = jax.random.normal(jax.random.PRNGKey(0), (B, N, D), jnp.bfloat16)
         c = jax.random.normal(jax.random.PRNGKey(1), (B, D), jnp.bfloat16)
         cos = jax.random.normal(jax.random.PRNGKey(2), (B, N, Dh),
@@ -139,7 +235,8 @@ def stage_block():
                 return x
             return run
         dt = diff_time(make, x0)
-        print(f'block[{impl:5s}]: {dt*1e6:8.1f} us  '
+        tag = impl + ('/int8' if quant else '')
+        print(f'block[{tag:10s}]: {dt*1e6:8.1f} us  '
               f'(36x = {dt*36*1e3:6.2f} ms)', flush=True)
 
 
@@ -186,6 +283,7 @@ def stage_fwd():
 if __name__ == '__main__':
     print('backend:', jax.default_backend(), flush=True)
     for s in sys.argv[1:] or ['gemm', 'attn', 'block']:
-        {'gemm': stage_gemm, 'attn': stage_attn, 'block': stage_block,
+        {'gemm': stage_gemm, 'qgemm': stage_qgemm, 'attn': stage_attn,
+         'swiglu': stage_swiglu, 'block': stage_block,
          'fwd': stage_fwd}[s]()
     print('DONE', flush=True)

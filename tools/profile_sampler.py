@@ -31,15 +31,34 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_step(batch):
+def build_step(batch, precision='bf16'):
     from perf_probe_r2 import build_xl, make_inputs, init_params
     b2 = 2 * batch
     model = build_xl('auto')
+    calib = None
+    if precision != 'bf16':
+        model = model.clone(gemm_precision='int8')
+    if precision == 'int8cal':
+        pass  # calibrated below after params exist
     grid, mask, size, _ = make_inputs(b2)
     y = jnp.concatenate([(jnp.arange(batch) % 1000).astype(jnp.int32),
                          jnp.full((batch,), 1000, jnp.int32)])
     params = init_params(model, grid, mask, size, y)
     sigmas = jnp.linspace(0.0, 1.0, 251)
+
+    extra = {}
+    if precision == 'int8cal':
+        from fitv2_tpu.ops.quant import (calibrate_quant_scales,
+                                         prequantize_weights)
+        z = jax.random.normal(jax.random.PRNGKey(9), (b2, 256, 16),
+                              jnp.float32)
+        t = jnp.full((b2,), 0.5, jnp.float32)
+        args = (z, t, y, grid, mask, size)
+        extra['quant_calib'] = calibrate_quant_scales(model, params, [args])
+        extra['quant_weights'] = prequantize_weights(model, params, args)
+        print('calibrated + prequantized; sites:',
+              len(jax.tree_util.tree_leaves(extra['quant_calib'])),
+              flush=True)
 
     @jax.jit
     def sample20(params, z):
@@ -47,8 +66,8 @@ def build_step(batch):
             t_cur, t_next = pair[0], pair[1]
             z2 = jnp.concatenate([z, z], axis=0)
             t2 = jnp.full((b2,), t_cur, jnp.float32)
-            out = model.apply({'params': params}, z2, t2, y, grid, mask,
-                              size)
+            out = model.apply({'params': params, **extra}, z2, t2, y, grid,
+                              mask, size)
             cond, uncond = jnp.split(out.astype(jnp.float32), 2, axis=0)
             v = uncond + 1.5 * (cond - uncond)
             return z + (t_next - t_cur) * v, None
@@ -62,66 +81,47 @@ def build_step(batch):
     return sample20, params, z0
 
 
-def aggregate_trace(logdir):
-    """Parse the trace and aggregate device-op self-times by name bucket."""
+def aggregate_trace(logdir, top=40):
+    """Per-op device self-time table from the xplane (framework_op_stats)."""
+    import csv
+    import io
     from xprof.convert import raw_to_tool_data as rtd
     xplanes = glob.glob(os.path.join(logdir, '**', '*.xplane.pb'),
                         recursive=True)
     if not xplanes:
         print('NO XPLANE FOUND under', logdir)
         return
-    data, _ = rtd.xspace_to_tool_data(xplanes, 'trace_viewer', {})
+    data, _ = rtd.xspace_to_tool_data(xplanes, 'framework_op_stats', {})
     if isinstance(data, bytes):
         data = data.decode('utf-8', errors='replace')
-    trace = json.loads(data)
-    events = trace.get('traceEvents', [])
-    # device-side complete events: pid of TPU core planes
-    byname = {}
-    total = 0.0
-    for ev in events:
-        if ev.get('ph') != 'X':
-            continue
-        name = ev.get('name', '')
-        # keep XLA op events only (skip steps/launch markers)
-        args = ev.get('args') or {}
-        if 'run_id' in args or name.startswith('Step'):
-            continue
-        dur = float(ev.get('dur', 0.0))  # us
-        cat = bucket(name, args)
-        if cat is None:
-            continue
-        byname[cat] = byname.get(cat, 0.0) + dur
-        total += dur
-    for cat, us in sorted(byname.items(), key=lambda kv: -kv[1]):
-        print(f'{cat:28s} {us/1e3:9.3f} ms  {100*us/max(total,1e-9):5.1f}%')
-    print(f'{"TOTAL device":28s} {total/1e3:9.3f} ms')
-
-
-def bucket(name, args):
-    n = name.lower()
-    if 'pid' in args and not isinstance(args, dict):
-        return None
-    if n.startswith(('infeed', 'outfeed', 'host')):
-        return None
-    if 'fusion' in n or n.startswith(('%', 'loop_')) or True:
-        # categorize by content keywords
-        if 'conv' in n or 'dot' in n or 'gemm' in n or 'matmul' in n:
-            return 'dot/conv fusions'
-        if 'softmax' in n or 'exp' in n or 'reduce' in n:
-            return 'reduce/softmax fusions'
-        if 'copy' in n or 'transpose' in n or 'bitcast' in n:
-            return 'copy/transpose'
-        if 'scatter' in n or 'gather' in n or 'dynamic' in n:
-            return 'gather/dynamic'
-        if 'custom' in n or 'pallas' in n:
-            return 'pallas/custom'
-        return 'other:' + n.split('.')[0][:20]
-    return 'misc'
+    tables = json.loads(data)  # gviz DataTable(s)
+    table = tables[0] if isinstance(tables, list) else tables
+    cols = [c['id'] for c in table['cols']]
+    rows = []
+    for r in table['rows']:
+        vals = [c.get('v') if isinstance(c, dict) else c for c in r['c']]
+        rows.append(dict(zip(cols, vals)))
+    dev = [r for r in rows
+           if str(r.get('host_or_device', '')).lower() == 'device']
+    key = next((k for k in ('total_self_time', 'self_time',
+                            'total_self_time_us') if k in cols), 'total_time')
+    total = sum(float(r.get(key) or 0) for r in dev)
+    dev.sort(key=lambda r: -float(r.get(key) or 0))
+    print(f'{"op (device, name tail)":72s} {"type":16s} '
+          f'{"self ms":>9s}  {"%":>5s}  n')
+    for r in dev[:top]:
+        us = float(r.get(key) or 0)
+        name = str(r.get('operation', '?'))
+        print(f'{name[-72:]:72s} {str(r.get("type", ""))[:16]:16s} '
+              f'{us/1e3:9.3f}  {100*us/max(total,1e-9):5.1f}  '
+              f'{r.get("occurrences", "")}')
+    print(f'{"TOTAL device self":72s} {"":16s} {total/1e3:9.3f}')
 
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    fn, params, z0 = build_step(batch)
+    precision = sys.argv[2] if len(sys.argv) > 2 else 'bf16'
+    fn, params, z0 = build_step(batch, precision)
     print('compiling...', flush=True)
     fn(params, z0).block_until_ready()
     logdir = tempfile.mkdtemp(prefix='jaxprof_')
