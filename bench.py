@@ -27,7 +27,7 @@ CFG_SCALE = 1.5
 BASELINE_IMG_PER_SEC = 1.70  # estimated reference A100 (see module docstring)
 
 
-def build_model():
+def build_model(precision='bf16'):
     from fitv2_tpu.models.fit import FiT
     # FiTv2-XL/2 (reference configs/fitv2/config_fitv2_xl.yaml:25-47):
     # hidden 1152, depth 36, heads 16, SwiGLU, QK-LN, AdaLN-LoRA, velocity.
@@ -37,7 +37,7 @@ def build_model():
         learn_sigma=False, use_sit=True, use_swiglu=True,
         q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
         adaln_lora_dim=288, custom_freqs='normal', max_cached_len=64,
-        dtype=jnp.bfloat16)
+        dtype=jnp.bfloat16, gemm_precision=precision)
 
 
 def main():
@@ -66,42 +66,66 @@ def main():
 
     sigmas = jnp.linspace(0.0, 1.0, STEPS + 1)
 
-    @jax.jit
-    def sample(params, z):
-        def step(z, pair):
-            t_cur, t_next = pair[0], pair[1]
-            z2 = jnp.concatenate([z, z], axis=0)
-            t2 = jnp.full((b2,), t_cur, jnp.float32)
-            out = model.apply({'params': params}, z2, t2, y, grid, mask,
-                              size)
-            cond, uncond = jnp.split(out.astype(jnp.float32), 2, axis=0)
-            v = uncond + CFG_SCALE * (cond - uncond)
-            return z + (t_next - t_cur) * v, None
+    def measure(model, extra):
+        @jax.jit
+        def sample(params, extra, z):
+            def step(z, pair):
+                t_cur, t_next = pair[0], pair[1]
+                z2 = jnp.concatenate([z, z], axis=0)
+                t2 = jnp.full((b2,), t_cur, jnp.float32)
+                out = model.apply({'params': params, **extra}, z2, t2, y,
+                                  grid, mask, size)
+                cond, uncond = jnp.split(out.astype(jnp.float32), 2, axis=0)
+                v = uncond + CFG_SCALE * (cond - uncond)
+                return z + (t_next - t_cur) * v, None
 
-        pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
-        z, _ = jax.lax.scan(step, z, pairs)
-        return z
+            pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
+            z, _ = jax.lax.scan(step, z, pairs)
+            return z
 
-    z0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, n_ctx, 16),
-                           jnp.float32)
+        z0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, n_ctx, 16),
+                               jnp.float32)
+        sample(params, extra, z0).block_until_ready()  # compile + warmup
+        n_iters = 3
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            out = sample(params, extra, z0)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / n_iters
+        return BATCH / dt
 
-    # compile + warmup
-    sample(params, z0).block_until_ready()
+    img_per_sec = measure(model, {})
 
-    n_iters = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = sample(params, z0)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
-
-    img_per_sec = BATCH / dt
-    print(json.dumps({
+    result = {
         'metric': 'FiTv2-XL 256x256 250-step ODE CFG sampling',
         'value': round(img_per_sec, 4),
         'unit': 'images/sec/chip',
         'vs_baseline': round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
-    }))
+    }
+
+    # secondary: the int8 W8A8 serving mode (calibrated static scales +
+    # prequantized weights, ops/quant.py; velocity-field fidelity vs bf16
+    # cos=0.9996). The headline stays bf16 — the distribution-parity path.
+    try:
+        mq = build_model('int8')
+        from fitv2_tpu.ops.quant import (calibrate_quant_scales,
+                                         prequantize_weights)
+        zc = jax.random.normal(jax.random.PRNGKey(9), (b2, n_ctx, 16),
+                               jnp.float32)
+        batches = [(zc * s, jnp.full((b2,), t, jnp.float32), y, grid, mask,
+                    size) for s, t in ((1.0, 0.05), (0.8, 0.5), (0.7, 0.9))]
+        extra = {
+            'quant_calib': calibrate_quant_scales(mq, params, batches),
+            'quant_weights': prequantize_weights(mq, params, batches[0]),
+        }
+        int8_img_per_sec = measure(mq, extra)
+        result['int8_serving_value'] = round(int8_img_per_sec, 4)
+        result['int8_serving_vs_baseline'] = round(
+            int8_img_per_sec / BASELINE_IMG_PER_SEC, 4)
+    except Exception:
+        pass  # int8 mode is best-effort in the bench
+
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

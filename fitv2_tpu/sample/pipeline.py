@@ -97,7 +97,27 @@ def build_sampler(model, params, cfg: SamplingConfig,
     y_null = jnp.full((B,), cfg.num_classes, jnp.int32)
     sigmas = jnp.linspace(0.0, 1.0, cfg.num_sampling_steps + 1)
 
-    def sample_fn(rng: Array, labels: Array) -> Array:
+    # int8 serving mode: one-time weight prequantization + static activation
+    # scales calibrated on noise-level trajectory states (ops/quant.py).
+    # The collections ride as jit ARGUMENTS via the `variables` dict —
+    # closing over the int8 kernels would embed ~0.5x the model size as HLO
+    # constants (the remote-compile tunnel rejects such payloads).
+    variables = {'params': params}
+    if getattr(model, 'gemm_precision', 'bf16') == 'int8':
+        from fitv2_tpu.ops.quant import (calibrate_quant_scales,
+                                         prequantize_weights)
+        crng = jax.random.PRNGKey(0)
+        zc = jax.random.normal(crng, (2 * B, n_ctx, token_dim), jnp.float32)
+        yc = jnp.concatenate([jnp.zeros((B,), jnp.int32), y_null])
+        batches = [(zc * s, jnp.full((2 * B,), t, jnp.float32), yc, grid,
+                    mask, size) for s, t in
+                   ((1.0, 0.05), (0.9, 0.3), (0.8, 0.6), (0.7, 0.9))]
+        variables['quant_calib'] = calibrate_quant_scales(
+            model, params, batches)
+        variables['quant_weights'] = prequantize_weights(
+            model, params, batches[0])
+
+    def sample_fn(variables, rng: Array, labels: Array) -> Array:
         y = jnp.concatenate([labels.astype(jnp.int32), y_null])
         z = jax.random.normal(rng, (B, n_ctx, token_dim), jnp.float32)
 
@@ -105,7 +125,7 @@ def build_sampler(model, params, cfg: SamplingConfig,
             t_cur, t_next = pair[0], pair[1]
             z_in = jnp.concatenate([z, z], axis=0).astype(cfg.dtype)
             t2 = jnp.full((2 * B,), t_cur, jnp.float32)
-            out = model.apply({'params': params}, z_in, t2, y, grid, mask,
+            out = model.apply(variables, z_in, t2, y, grid, mask,
                               size)
             cond, uncond = jnp.split(out.astype(jnp.float32), 2, axis=0)
             v = uncond + cfg.cfg_scale * (cond - uncond)
@@ -129,7 +149,8 @@ def build_sampler(model, params, cfg: SamplingConfig,
                            255).astype(jnp.uint8)
         return (out, traj) if return_trajectory else out
 
-    return jax.jit(sample_fn)
+    jitted = jax.jit(sample_fn)
+    return lambda rng, labels: jitted(variables, rng, labels)
 
 
 def generate_fid_samples(sample_fn: Callable, num_fid_samples: int,

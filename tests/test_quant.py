@@ -105,6 +105,33 @@ def test_fit_int8_calibrated_forward():
     assert cos > 0.99, cos
 
 
+def test_build_sampler_int8_serving(tmp_path):
+    """build_sampler auto-calibrates + prequantizes for an int8 model and
+    produces finite latents end to end."""
+    from fitv2_tpu.models.fit import FiT
+    from fitv2_tpu.sample.pipeline import SamplingConfig, build_sampler
+
+    model = FiT(context_size=16, patch_size=2, in_channels=4,
+                hidden_size=64, depth=2, num_heads=4, num_classes=10,
+                learn_sigma=False, use_sit=True, use_swiglu=True,
+                q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
+                adaln_lora_dim=16, max_cached_len=8, dtype=jnp.float32,
+                gemm_precision='int8')
+    rng = jax.random.PRNGKey(0)
+    from fitv2_tpu.models.grid_utils import make_grid_mask_size
+    grid, mask, size = make_grid_mask_size(1, 4, 4, 16)
+    params = model.init(rng, jnp.zeros((1, 16, 16)), jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32), grid, mask, size)[
+        'params']
+    cfg = SamplingConfig(image_height=32, image_width=32,
+                         num_sampling_steps=4, num_classes=10,
+                         per_device_batch=2, dtype=jnp.float32)
+    fn = build_sampler(model, params, cfg)
+    out = fn(jax.random.PRNGKey(1), jnp.asarray([0, 1], jnp.int32))
+    assert out.shape == (2, 4, 4, 4)
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
 def test_prequantized_weights_match_dynamic():
     """prequantize_weights stores int8 kernels once; bound apply is
     bit-identical to quantize-at-apply (same math, hoisted)."""
