@@ -90,13 +90,16 @@ def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
     Returns: (B, N, H, Dh)
     """
     n = q.shape[1]
-    # measured on v5e (B=8, H=16, Dh=72, bf16): pallas 2.15 ms vs XLA
-    # 2.74 ms at N=1024; XLA wins at N=256 where tiling pads dominate
-    # (a single-VMEM-block kernel also loses at N=256: 909 vs 750 us/call,
-    # see ops/block_attention.py — Dh=72 defeats lane alignment both ways)
-    on_tpu = jax.default_backend() not in ('cpu',)
-    if impl == 'pallas' or (impl == 'auto' and on_tpu and n >= 1024
-                            and mask is not None):
+    # Dispatch history on v5e (H=16, Dh=72, bf16):
+    #   round 1 (fp32 logits XLA): flash won at N>=1024 (2.15 vs 2.74 ms,
+    #   B=8) and lost at N=256 — 'auto' selected it for long sequences.
+    #   round 2: bf16 materialized logits + the bounded-logits softmax
+    #   (no max pass) cut the XLA chain ~4x at N=1024 (316 vs flash's
+    #   520 us/call at b2=4) — XLA now wins at BOTH N=256 and N=1024,
+    #   so 'auto' never picks the Pallas kernel; impl='pallas' opts in
+    #   (e.g. for sequences long enough that even bf16 (B,H,N,N) logits
+    #   do not fit in HBM).
+    if impl == 'pallas':
         try:
             from fitv2_tpu.ops.flash_attention import flash_masked_attention
             return flash_masked_attention(q, k, v, mask)

@@ -84,10 +84,88 @@ def run(remat_policy: str, mu_dtype):
           f'loss={float(m["loss"]):.4f}', flush=True)
 
 
+def run_scan(remat_policy: str, mu_dtype, l1=4, l2=16):
+    """In-graph scan diff-timing variant: K train steps inside ONE jitted
+    lax.scan — immune to per-dispatch runtime artifacts (the plain 20-call
+    loop measured an impossible 0.55 ms/step for remat=full; per-output
+    readiness in the tunnel runtime appears to decouple the blocked-on loss
+    from the full step)."""
+    import functools
+
+    from fitv2_tpu.flow.transport import create_transport
+    from fitv2_tpu.models.fit import FiT
+    from fitv2_tpu.train.train_step import (
+        OptimizerConfig, create_train_state, make_optimizer,
+        make_train_step)
+
+    model = FiT(
+        context_size=256, patch_size=2, in_channels=4, hidden_size=1152,
+        depth=36, num_heads=16, class_dropout_prob=0.1, num_classes=1000,
+        learn_sigma=False, use_sit=True, use_swiglu=True,
+        q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
+        adaln_lora_dim=288, custom_freqs='normal', max_cached_len=64,
+        use_checkpoint=True, remat_policy=remat_policy,
+        dtype=jnp.bfloat16)
+    transport = create_transport('Linear', 'velocity', snr_type='lognorm')
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-4,
+                                        mu_dtype=mu_dtype))
+    step_fn = make_train_step(model, transport, tx)
+
+    n_h = n_w = 16
+    gw, gh = np.meshgrid(np.arange(n_w), np.arange(n_h))
+    grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0)
+    batch = {
+        'feature': jnp.asarray(np.random.default_rng(0).standard_normal(
+            (BATCH, 256, 16)), jnp.float32),
+        'grid': jnp.asarray(np.broadcast_to(grid, (BATCH, 2, 256)),
+                            jnp.int32),
+        'mask': jnp.ones((BATCH, 256), jnp.float32),
+        'label': (jnp.arange(BATCH) % 1000).astype(jnp.int32),
+        'size': jnp.asarray(np.broadcast_to(np.array([[n_h, n_w]]),
+                                            (BATCH, 1, 2)), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(functools.partial(model.init, train=True))(
+        {'params': rng, 'label_dropout': rng}, batch['feature'][:1],
+        jnp.zeros((1,)), batch['label'][:1], batch['grid'][:1],
+        batch['mask'][:1], batch['size'][:1])['params']
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params)
+    state0 = create_train_state(params, tx)
+
+    def make(length):
+        @jax.jit
+        def run_k(state):
+            def body(state, i):
+                new_state, m = step_fn(state, batch,
+                                       jax.random.fold_in(rng, i))
+                return new_state, m['loss']
+            _, losses = jax.lax.scan(body, state, jnp.arange(length))
+            return losses[-1]
+        return run_k
+
+    f1, f2 = make(l1), make(l2)
+    print(f'compiling scan remat={remat_policy}...', flush=True)
+    for f in (f1, f2):
+        jax.block_until_ready(f(state0))
+    t0 = time.perf_counter(); jax.block_until_ready(f1(state0))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); jax.block_until_ready(f2(state0))
+    t2 = time.perf_counter() - t0
+    dt = (t2 - t1) / (l2 - l1)
+    print(f'train-scan[remat={remat_policy:4s} mu={str(mu_dtype):8s}]: '
+          f'{dt*1e3:7.2f} ms/step  {BATCH/dt:6.1f} img/s/chip', flush=True)
+
+
 if __name__ == '__main__':
     combos = sys.argv[1:] or ['full:f32', 'dots:f32', 'dots:bf16']
     print('backend:', jax.default_backend(), flush=True)
     for c in combos:
-        policy, mu = c.split(':')
-        run(policy, jnp.bfloat16 if mu == 'bf16' else None)
+        mode_policy, mu = (c.split(':') + ['f32'])[:2]
+        mu_d = jnp.bfloat16 if mu == 'bf16' else None
+        if mode_policy.startswith('scan-'):
+            run_scan(mode_policy[5:], mu_d)
+        else:
+            run(mode_policy, mu_d)
     print('DONE', flush=True)
