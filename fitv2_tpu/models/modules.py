@@ -346,7 +346,8 @@ class Attention(nn.Module):
         bounded = (self.q_norm == 'layernorm' and self.k_norm == 'layernorm'
                    and not self.qk_norm_weight)
         out = masked_attention(q, k, v, mask, impl=self.attn_impl,
-                               bounded_logits=bounded)  # (B, N, H, Dh)
+                               bounded_logits=bounded,
+                               quantized=self.quantized)  # (B, N, H, Dh)
         out = out.reshape(B, N, C)
         if mask is not None:
             out = out * mask.astype(out.dtype)[..., None]  # zero padded queries

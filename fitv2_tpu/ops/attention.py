@@ -73,9 +73,21 @@ def _xla_masked_attention(q: Array, k: Array, v: Array,
     return jnp.einsum('bhqk,bkhd->bqhd', probs, v)
 
 
+# Measured dead end (round 2): int8 attention. Int8 probabilities cannot
+# use a fixed scale — e = exp(logits) spans (0, e^sqrt(Dh)] so a global
+# scale saturates and any per-row normalization reintroduces the extra
+# (B, H, N, N) pass the scheme was meant to remove; int8 QK dots alone
+# lose because the int32 logits double the materialization traffic
+# (236 MB/block vs the bf16 chain's 136 MB) for ~0.5 ms of MXU saving.
+# Keeping probabilities out of HBM entirely is flash-kernel territory,
+# which the 72-lane head dim already rules out at these shapes (see the
+# dispatch history below).
+
+
 def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
                      impl: str = 'auto',
-                     bounded_logits: bool = False) -> Array:
+                     bounded_logits: bool = False,
+                     quantized: bool = False) -> Array:
     """Scaled dot-product attention with key-side padding mask.
 
     Args:
@@ -87,6 +99,8 @@ def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
       bounded_logits: caller guarantees |logits| is bounded well below the
         exp overflow threshold (q/k both LayerNormed) — enables the
         max-subtraction-free softmax in the XLA path.
+      quantized: accepted for dispatch uniformity; attention itself stays
+        bf16 in the int8 serving mode (see the dead-end note above).
     Returns: (B, N, H, Dh)
     """
     n = q.shape[1]
