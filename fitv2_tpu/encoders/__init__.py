@@ -53,14 +53,36 @@ def load_encoders(enc_type: str, weights_path: Optional[str] = None,
                   ) -> Tuple[Any, Any, Callable]:
     """(module, params, preprocess_fn) for a frozen teacher.
 
-    enc_type families: dinov2/dinov1/mae/jepa/mocov3 (generic pre-norm ViT,
-    encoders/vit.py) and clip (pre-LN tower with class embedding +
-    quickGELU, encoders/clip.py — reference utils.py:301-320).
-    weights_path: local torch state dict (timm/jepa naming, or OpenAI clip
-    full/visual checkpoint). Without one the encoder is randomly
-    initialized — useful only for pipeline tests.
+    enc_type families: dinov2 (LayerScale + cls/register tokens + learned
+    pos embed, encoders/dinov2.py — reference utils.py:267-300),
+    dinov1/mae/jepa/mocov3 (generic pre-norm ViT, encoders/vit.py) and
+    clip (pre-LN tower with class embedding + quickGELU, encoders/clip.py —
+    reference utils.py:301-320).
+    weights_path: local torch state dict (timm/jepa/torch-hub naming, or
+    OpenAI clip full/visual checkpoint). Without one the encoder is
+    randomly initialized — useful only for pipeline tests.
     """
     family = enc_type.split('-')[0]
+    if family == 'dinov2':
+        from fitv2_tpu.encoders.dinov2 import (
+            convert_dinov2_state_dict, dinov2_vitb14, dinov2_vitg14,
+            dinov2_vitl14, dinov2_vits14)
+        builders = {'vit_small': dinov2_vits14, 'vit_base': dinov2_vitb14,
+                    'vit_large': dinov2_vitl14, 'vit_giant': dinov2_vitg14}
+        model = builders.get(arch, dinov2_vitb14)()
+        if weights_path is not None:
+            from fitv2_tpu.ckpt.torch_import import load_torch_state_dict
+            sd = load_torch_state_dict(weights_path)
+            params = convert_dinov2_state_dict(sd)
+            if 'register_tokens' in sd:
+                model = model.clone(
+                    num_register_tokens=sd['register_tokens'].shape[1])
+        else:
+            import jax
+            params = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 224, 224, 3)))['params']
+        return model, params, lambda x: preprocess_raw_image(x, enc_type)
     if family == 'clip':
         from fitv2_tpu.encoders.clip import (
             clip_vit_b16, clip_vit_l14, convert_clip_visual_state_dict)
@@ -92,4 +114,7 @@ def load_encoders(enc_type: str, weights_path: Optional[str] = None,
 __all__ = [
     'VisionTransformer', 'ViTBlock', 'convert_vit_state_dict', 'vit_base',
     'vit_huge', 'vit_large', 'load_encoders', 'preprocess_raw_image',
+    'DinoV2ViT',
 ]
+
+from fitv2_tpu.encoders.dinov2 import DinoV2ViT  # noqa: E402

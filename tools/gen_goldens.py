@@ -758,6 +758,98 @@ def gen_clip():
     print('wrote clip.npz')
 
 
+# ---------------------------------------------------------------------------
+# 6. mini-DINOv2 golden (LayerScale + cls/register tokens + learned pos
+#    embed + SwiGLU-fused FFN, torch-hub naming)
+# ---------------------------------------------------------------------------
+
+
+class _DinoBlockT(tnn.Module):
+    def __init__(self, w, heads, swiglu):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(w, eps=1e-6)
+        self.attn = tnn.ModuleDict({})
+        self.attn.qkv = tnn.Linear(w, 3 * w)
+        self.attn.proj = tnn.Linear(w, w)
+        self.ls1 = tnn.ParameterDict(
+            {'gamma': tnn.Parameter(torch.randn(w) * 0.1)})
+        self.norm2 = tnn.LayerNorm(w, eps=1e-6)
+        self.swiglu = swiglu
+        self.mlp = tnn.ModuleDict({})
+        if swiglu:
+            hidden = (int(w * 4 * 2 / 3) + 7) // 8 * 8
+            self.mlp.w12 = tnn.Linear(w, 2 * hidden)
+            self.mlp.w3 = tnn.Linear(hidden, w)
+        else:
+            self.mlp.fc1 = tnn.Linear(w, 4 * w)
+            self.mlp.fc2 = tnn.Linear(4 * w, w)
+        self.ls2 = tnn.ParameterDict(
+            {'gamma': tnn.Parameter(torch.randn(w) * 0.1)})
+        self.heads = heads
+
+    def forward(self, x):
+        B, N, C = x.shape
+        h = self.norm1(x)
+        qkv = self.attn.qkv(h).reshape(B, N, 3, self.heads,
+                                       C // self.heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = torch.einsum('bqhd,bkhd->bhqk', q, k)
+        attn = torch.softmax(logits * (C // self.heads) ** -0.5, dim=-1)
+        out = torch.einsum('bhqk,bkhd->bqhd', attn, v).reshape(B, N, C)
+        x = x + self.ls1['gamma'] * self.attn.proj(out)
+        h = self.norm2(x)
+        if self.swiglu:
+            a, b = self.mlp.w12(h).chunk(2, dim=-1)
+            m = self.mlp.w3(F.silu(a) * b)
+        else:
+            m = self.mlp.fc2(F.gelu(self.mlp.fc1(h)))
+        return x + self.ls2['gamma'] * m
+
+
+class _MiniDinoV2(tnn.Module):
+    def __init__(self, img=28, patch=7, w=48, depth=3, heads=4,
+                 registers=2, swiglu=True):
+        super().__init__()
+        self.patch = patch
+        self.patch_embed = tnn.ModuleDict({})
+        self.patch_embed.proj = tnn.Conv2d(3, w, patch, stride=patch)
+        n = (img // patch) ** 2
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, w) * 0.1)
+        self.pos_embed = tnn.Parameter(torch.randn(1, 1 + n, w) * 0.1)
+        self.register_tokens = tnn.Parameter(
+            torch.randn(1, registers, w) * 0.1)
+        self.blocks = tnn.ModuleList(
+            [_DinoBlockT(w, heads, swiglu) for _ in range(depth)])
+        self.norm = tnn.LayerNorm(w, eps=1e-6)
+        self.registers = registers
+
+    def forward(self, x):
+        h = self.patch_embed.proj(x)            # (B, W, gh, gw)
+        B, C, gh, gw = h.shape
+        h = h.reshape(B, C, gh * gw).permute(0, 2, 1)
+        h = h + self.pos_embed[:, 1:]
+        cls = self.cls_token + self.pos_embed[:, :1]
+        h = torch.cat([cls.expand(B, 1, C),
+                       self.register_tokens.expand(B, self.registers, C),
+                       h], dim=1)
+        for blk in self.blocks:
+            h = blk(h)
+        h = self.norm(h)
+        return h[:, 1 + self.registers:]
+
+
+def gen_dinov2():
+    torch.manual_seed(33)
+    net = _MiniDinoV2().eval()
+    x = torch.randn(2, 3, 28, 28, generator=torch.Generator().manual_seed(5))
+    with torch.no_grad():
+        tokens = net(x)
+    np.savez(os.path.join(OUT, 'dinov2.npz'),
+             x=x.numpy(), tokens=tokens.numpy(),
+             **{'sd:' + k: v.numpy() for k, v in net.state_dict().items()})
+    print('wrote dinov2.npz')
+
+
 
 if __name__ == '__main__':
     gen_rope()
@@ -766,3 +858,4 @@ if __name__ == '__main__':
     gen_inception()
     gen_vae()
     gen_clip()
+    gen_dinov2()
