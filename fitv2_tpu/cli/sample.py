@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument('--vae', default=None,
                    help='sd-vae safetensors/bin; omit to emit raw latents')
     p.add_argument('--out', default='samples.npz')
+    p.add_argument('--data-parallel', action='store_true',
+                   help='shard the CFG batch over all local devices '
+                        '(single-process DP FID generation; the DDP '
+                        'counterpart of reference sample_fitv2_ddp.py)')
     p.add_argument('--gemm-precision', default=None,
                    choices=['bf16', 'int8'],
                    help="override network gemm_precision; 'int8' runs the "
@@ -75,10 +79,12 @@ def main(argv=None):
         cfg_scale=args.cfg_scale, num_classes=args.num_classes,
         per_device_batch=args.per_device_batch,
         interpolation=args.interpolation, decouple=args.decouple,
-        ori_max_pe_len=args.ori_max_pe_len)
+        ori_max_pe_len=args.ori_max_pe_len,
+        data_parallel=args.data_parallel)
     fn = build_sampler(model, params, scfg, vae, vae_params)
     images = generate_fid_samples(
-        fn, args.num_fid_samples, args.per_device_batch,
+        fn, args.num_fid_samples,
+        getattr(fn, 'batch_size', args.per_device_batch),
         args.num_classes, seed=args.global_seed, progress=True)
 
     import jax

@@ -50,6 +50,11 @@ class SamplingConfig:
     ori_max_pe_len: Optional[int] = None
     vae_scale: float = 0.18215
     dtype: Any = jnp.bfloat16
+    # shard the CFG batch over all local devices (v5e-8 style DP FID
+    # generation — the reference's DDP loop, sample_fitv2_ddp.py:51, as a
+    # sharding instead of processes); effective batch becomes
+    # per_device_batch * local_device_count
+    data_parallel: bool = False
 
 
 def apply_rope_interpolation(model, cfg: SamplingConfig):
@@ -90,7 +95,8 @@ def build_sampler(model, params, cfg: SamplingConfig,
     assert n_h * n_w <= n_ctx, (
         f'bucket {n_h}x{n_w} exceeds context {n_ctx}; build the model with a '
         f'larger context_size for this bucket')
-    B = cfg.per_device_batch
+    n_dev = len(jax.local_devices()) if cfg.data_parallel else 1
+    B = cfg.per_device_batch * n_dev
     token_dim = model.patch_size ** 2 * model.in_channels
 
     grid, mask, size = make_grid_mask_size(2 * B, n_h, n_w, n_ctx)
@@ -149,8 +155,21 @@ def build_sampler(model, params, cfg: SamplingConfig,
                            255).astype(jnp.uint8)
         return (out, traj) if return_trajectory else out
 
-    jitted = jax.jit(sample_fn)
-    return lambda rng, labels: jitted(variables, rng, labels)
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.asarray(jax.local_devices()[:n_dev]), ('data',))
+        rep = NamedSharding(mesh, P())
+        dp = NamedSharding(mesh, P('data'))
+        traj_sh = NamedSharding(mesh, P(None, 'data'))  # (steps, B, ...)
+        out_sh = (dp, traj_sh) if return_trajectory else dp
+        jitted = jax.jit(sample_fn, in_shardings=(rep, rep, dp),
+                         out_shardings=out_sh)
+    else:
+        jitted = jax.jit(sample_fn)
+
+    fn = lambda rng, labels: jitted(variables, rng, labels)  # noqa: E731
+    fn.batch_size = B  # effective per-call batch (for FID loop sizing)
+    return fn
 
 
 def generate_fid_samples(sample_fn: Callable, num_fid_samples: int,

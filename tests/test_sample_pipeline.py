@@ -104,3 +104,30 @@ def test_sampler_determinism():
     a = fn(jax.random.PRNGKey(5), jnp.arange(2))
     b = fn(jax.random.PRNGKey(5), jnp.arange(2))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sampler_data_parallel_8dev():
+    """data_parallel=True shards the CFG batch over the 8 local devices;
+    results match the single-device path on the same labels/rng."""
+    model = _model()
+    grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 16)), jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32), grid, mask, size)['params']
+    cfg_dp = SamplingConfig(image_height=128, image_width=128,
+                            num_sampling_steps=2, per_device_batch=1,
+                            num_classes=10, dtype=jnp.float32,
+                            data_parallel=True)
+    fn_dp = build_sampler(model, params, cfg_dp)
+    assert fn_dp.batch_size == 8 * 1
+    labels = jnp.arange(8) % 10
+    out_dp = fn_dp(jax.random.PRNGKey(3), labels)
+    assert out_dp.shape[0] == 8
+
+    cfg_1 = SamplingConfig(image_height=128, image_width=128,
+                           num_sampling_steps=2, per_device_batch=8,
+                           num_classes=10, dtype=jnp.float32)
+    out_1 = build_sampler(model, params, cfg_1)(jax.random.PRNGKey(3),
+                                                labels)
+    np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_1),
+                               atol=1e-5, rtol=1e-5)
