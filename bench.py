@@ -18,6 +18,21 @@ import json
 import time
 
 import jax
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache (verified effective through the axon
+    remote-compile tunnel: cross-process recompiles drop to ~0). Safe to
+    call before backend init."""
+    import jax
+    import os
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', d)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+_enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -70,7 +70,10 @@ def main(argv=None):
     vae = vae_params = None
     if args.vae:
         from fitv2_tpu.vae import AutoencoderKL, load_vae_params
-        vae = AutoencoderKL()
+        import jax.numpy as jnp
+        # bf16 decoder convs (GroupNorm statistics stay fp32): ~2x the
+        # fp32 decode rate; output clips to uint8 anyway
+        vae = AutoencoderKL(dtype=jnp.bfloat16)
         vae_params = load_vae_params(args.vae)
 
     scfg = SamplingConfig(

@@ -10,13 +10,12 @@ Native-op parity map (SURVEY.md §2.8):
 
 from fitv2_tpu.ops.attention import masked_attention
 from fitv2_tpu.ops.bias_act import ACTIVATION_FUNCS, bias_act
-from fitv2_tpu.ops.block_attention import block_masked_attention
 from fitv2_tpu.ops.upfirdn2d import (
     downsample2d, filter2d, setup_filter, upfirdn2d, upsample2d,
 )
 
 __all__ = [
-    'masked_attention', 'block_masked_attention', 'ACTIVATION_FUNCS',
+    'masked_attention', 'ACTIVATION_FUNCS',
     'bias_act', 'downsample2d', 'filter2d', 'setup_filter', 'upfirdn2d',
     'upsample2d',
 ]

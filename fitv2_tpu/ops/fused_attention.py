@@ -14,7 +14,8 @@ Why a megakernel wins at FiTv2's native shape (B=16, N=256, H=16, Dh=72):
     next dot; measured 750 us/call vs ~50 us of pure matmul time.
   - The preamble (LN + rotate) is bandwidth-bound: it reads and writes q/k
     twice between the qkv projection and the attention matmuls.
-  - Previous partial kernels lost (see ops/block_attention.py header): a
+  - Previous partial kernels lost (a removed per-(batch)-grid flat-lane
+    block kernel measured 909 us/call vs XLA's 750): a
     per-(batch*head) grid pays per-program overhead 256 times, and the
     (B, N, H, Dh=72) layout pads every VPU op 72->128 lanes. Here the grid
     is (B,) with an unrolled in-kernel head loop, all operands stay in the
