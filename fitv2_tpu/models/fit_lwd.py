@@ -60,7 +60,8 @@ class BlockStack(nn.Module):
     def __call__(self, x, c, mask, freqs_cos, freqs_sin, global_adaln):
         Scan = nn.scan(
             _ScanBlock,
-            variable_axes={'params': 0, 'intermediates': 0},
+            variable_axes={'params': 0, 'intermediates': 0,
+                           'quant_calib': 0, 'quant_weights': 0},
             split_rngs={'params': True, 'label_dropout': True},
             length=self.length,
             in_axes=nn.broadcast,
@@ -132,6 +133,8 @@ class FiTLwD(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = 'auto'
     rope_layout: str = 'split'  # TPU-fast basis (see fitv2_tpu/models/rope.py)
+    # 'bf16' or 'int8' W8A8 serving mode for block GEMMs (ops/quant.py)
+    gemm_precision: str = 'bf16'
 
     @property
     def out_channels(self) -> int:
@@ -165,7 +168,8 @@ class FiTLwD(nn.Module):
             adaln_type=self.adaln_type, adaln_lora_dim=self.adaln_lora_dim,
             use_rope=self.rel_pos_embed is not None,
             add_rel_pe_to_v=self.add_rel_pe_to_v, dtype=self.dtype,
-            attn_impl=self.attn_impl, rope_layout=self.rope_layout))
+            attn_impl=self.attn_impl, rope_layout=self.rope_layout,
+            quantized=self.gemm_precision == 'int8'))
 
     def setup(self):
         K = self.number_of_perflow

@@ -198,3 +198,21 @@ def test_fit_int8_forward_close_to_bf16():
     b = np.asarray(o_q, np.float64).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
     assert cos > 0.99, cos
+
+
+def test_fitlwd_int8_sampler_runs():
+    """gemm_precision='int8' threads into the LwD family's block stacks."""
+    from fitv2_tpu.models.fit_lwd import FiTLwD
+    model = FiTLwD(context_size=16, patch_size=2, in_channels=4,
+                   hidden_size=32, depth=4, num_heads=2, num_classes=10,
+                   number_of_perflow=2, n_patch_h=4, n_patch_w=4,
+                   q_norm='layernorm', k_norm='layernorm',
+                   adaln_type='lora', adaln_lora_dim=8, max_cached_len=8,
+                   gemm_precision='int8')
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16), jnp.float32)
+    y = jnp.asarray([0, 1], jnp.int32)
+    params = model.init({'params': rng, 'label_dropout': rng}, x, y,
+                        method=model.sample)['params']
+    out = model.apply({'params': params}, x, y, method=model.sample)
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
