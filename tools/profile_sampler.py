@@ -69,7 +69,7 @@ def build_step(batch, precision='bf16'):
               flush=True)
 
     @jax.jit
-    def sample20(params, z):
+    def sample20_inner(params, extra, z):
         def step(z, pair):
             t_cur, t_next = pair[0], pair[1]
             z2 = jnp.concatenate([z, z], axis=0)
@@ -83,6 +83,12 @@ def build_step(batch, precision='bf16'):
         pairs = jnp.stack([sigmas[:21][:-1], sigmas[:21][1:]], axis=-1)
         z, _ = jax.lax.scan(step, z, pairs)
         return z
+
+    # extra rides as a jit ARGUMENT: closing over prequantized int8 kernels
+    # embeds them as HLO constants and the remote compile rejects the
+    # payload (HTTP 413)
+    def sample20(params, z):
+        return sample20_inner(params, extra, z)
 
     z0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 16),
                            jnp.float32)
