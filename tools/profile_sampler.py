@@ -2,10 +2,17 @@
 per-op time breakdown (aggregated by op category) from the XLA device trace.
 
 This replaces guesswork ablations: the xplane trace records every fusion's
-device occupancy, so we can see exactly where the 34 ms step goes
+device occupancy, so we can see exactly where the step time goes
 (GEMM vs attention softmax chain vs elementwise vs adaLN smalls).
 
-Run (TPU): PYTHONPATH=/root/repo python tools/profile_sampler.py [batch]
+CAUTION: through the axon tunnel the op table has shown entries that stay
+BIT-IDENTICAL across runs even after the op was removed from the graph
+(e.g. attn/reduce_sum 43.512 ms in every session profile) — suspected
+stale/aggregated remote profiler state. Trust the TOTAL device self-time
+and the ops that CHANGE across configs; cross-validate totals against
+big-call wall time (bench.py). See memory note axon-lazy-execution.
+
+Run (TPU, from /root/repo): python tools/profile_sampler.py [batch] [bf16|int8|int8cal]
 """
 
 import os as _os, sys as _sys
