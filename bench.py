@@ -21,14 +21,16 @@ import jax
 
 def _enable_compile_cache():
     """Persistent XLA compile cache (verified effective through the axon
-    remote-compile tunnel: cross-process recompiles drop to ~0). Safe to
-    call before backend init."""
-    import jax
+    remote-compile tunnel: cross-process recompiles drop to ~0). Keyed per
+    machine so CPU AOT entries never cross hosts (SIGILL hazard)."""
     import os
-    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')
+    import sys
+    root = os.path.dirname(os.path.abspath(__file__))
+    if root not in sys.path:
+        sys.path.insert(0, root)
     try:
-        jax.config.update('jax_compilation_cache_dir', d)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        from fitv2_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(root)
     except Exception:
         pass
 

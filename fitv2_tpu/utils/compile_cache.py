@@ -1,0 +1,49 @@
+"""Persistent XLA compile-cache setup, keyed per machine.
+
+The cache is effective through the axon remote-compile tunnel (reruns skip
+2-10 min recompiles), but XLA:CPU entries embed AOT host code specialized to
+the compiling machine's CPU features. A cache dir shared between machines
+(e.g. the TPU-tunnel host and the driver's CPU host) makes XLA load foreign
+AOT results — "machine feature +prefer-no-gather is not supported … could
+lead to SIGILL". Keying the directory by a hostname + /proc/cpuinfo-flags
+fingerprint gives each machine its own namespace while keeping the hit rate
+for same-machine reruns.
+
+Call enable_compile_cache() before the first jax computation (safe to call
+before backend init; jax.config only records the path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def machine_fingerprint() -> str:
+    """Stable per-machine key: hostname + CPU flag set."""
+    parts = [platform.node() or 'unknown', platform.machine() or '']
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    parts.append(line.split(':', 1)[1].strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1('|'.join(parts).encode()).hexdigest()[:10]
+
+
+def enable_compile_cache(repo_root: str | None = None) -> str | None:
+    """Point jax at .jax_cache/<machine fingerprint>/ under repo_root."""
+    import jax
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    d = os.path.join(repo_root, '.jax_cache', machine_fingerprint())
+    try:
+        jax.config.update('jax_compilation_cache_dir', d)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        return None
+    return d

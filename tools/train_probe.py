@@ -13,11 +13,10 @@ for _p in (_REPO_ROOT, _os.path.join(_REPO_ROOT, 'tools')):
     if _p not in _sys.path:
         _sys.path.insert(0, _p)
 
-try:  # persistent compile cache — effective through the axon tunnel
-    import jax as _jax
-    _jax.config.update('jax_compilation_cache_dir',
-                       _os.path.join(_REPO_ROOT, '.jax_cache'))
-    _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+try:  # persistent compile cache — effective through the axon tunnel;
+    # keyed per machine (SIGILL hazard for cross-host CPU AOT entries)
+    from fitv2_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(_REPO_ROOT)
 except Exception:
     pass
 # NOTE: do NOT set PYTHONPATH=/root/repo instead — it breaks the axon
