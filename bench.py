@@ -66,7 +66,9 @@ def main():
     gw, gh = np.meshgrid(np.arange(n_w), np.arange(n_h))
     grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0)
     grid = jnp.asarray(np.broadcast_to(grid, (b2, 2, n_ctx)), jnp.int32)
-    mask = jnp.ones((b2, n_ctx), jnp.float32)
+    # full 16x16 grid: mask statically absent (models/fit.py mask=None path);
+    # the reference sampler's mask here is all-ones (sample_fitv2_ddp.py:263)
+    mask = None
     size = jnp.asarray(np.broadcast_to(np.array([[n_h, n_w]]), (b2, 1, 2)),
                        jnp.int32)
     y = jnp.concatenate([
@@ -76,7 +78,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(
         rng, jnp.zeros((1, n_ctx, 16), jnp.float32), jnp.zeros((1,)),
-        y[:1], grid[:1], mask[:1], size[:1])['params']
+        y[:1], grid[:1], None, size[:1])['params']
     params = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         params)

@@ -40,11 +40,15 @@ class _ScanBlock(nn.Module):
     """Adapter giving FiTBlock the (carry, *broadcast) -> (carry, out) shape
     nn.scan requires; params live under <name>/block/..."""
     block_kwargs: Any  # flax FrozenDict of FiTBlock kwargs (static)
+    sequence_mesh: Any = None  # static Mesh for SP activation constraints
 
     @nn.compact
     def __call__(self, x, c, mask, freqs_cos, freqs_sin, global_adaln):
         x = FiTBlock(**dict(self.block_kwargs), name='block')(
             x, c, mask, freqs_cos, freqs_sin, global_adaln)
+        if self.sequence_mesh is not None:
+            from fitv2_tpu.parallel.mesh import constrain_sequence
+            x = constrain_sequence(x, self.sequence_mesh)
         return x, None
 
 
@@ -102,6 +106,14 @@ class FiT(nn.Module):
     # double-rate integer path (ops/quant.py) — opt-in speed mode for
     # serving; same parameter tree, quantization at apply time.
     gemm_precision: str = 'bf16'
+    # Sequence parallelism: a jax.sharding.Mesh with a 'sequence' axis. When
+    # set, activations are CONSTRAINED token-sharded after the patch embed
+    # and after every block (parallel/mesh.constrain_sequence), so the
+    # MLP/norm/modulation chain and its activation memory stay sharded
+    # N/seq per device; XLA inserts k/v all-gathers only around the
+    # attention einsums. None (default) = no SP. Static field: the SAME
+    # mesh object must be used for the jit in_shardings.
+    sequence_mesh: Any = None
 
     @property
     def out_channels(self) -> int:
@@ -139,18 +151,28 @@ class FiT(nn.Module):
         return rope_lib.rope_from_grid(cache, grid, cfg.layout)
 
     @nn.compact
-    def __call__(self, x: Array, t: Array, y: Array, grid: Array, mask: Array,
+    def __call__(self, x: Array, t: Array, y: Array, grid: Array,
+                 mask: Optional[Array] = None,
                  size: Optional[Array] = None, train: bool = False,
                  force_drop_ids: Optional[Array] = None) -> Array:
         """x: (B, N, p**2*C_in); t: (B,); y: (B,) int; grid: (B, 2, N) int;
         mask: (B, N); size: (B, 1, 2). Returns (B, N, p**2*C_out).
-        Reference semantics: fit_model.py:189-233."""
+        Reference semantics: fit_model.py:189-233.
+
+        mask=None means "every token valid" STATICALLY: the mask `where`
+        inside the softmax and both padded-output zeroing multiplies drop
+        out of the compiled graph. Full-grid sampling (the reference's own
+        sampler always builds mask=ones, sample_fitv2_ddp.py:263-271) should
+        pass None; identical outputs, fewer HBM passes."""
         ts = self.time_shifting
         t = jnp.minimum(ts * t / (1.0 + (ts - 1.0) * t), 1.0)
         t = t.astype(self.dtype)
 
         x = x.astype(self.dtype)
         x = PatchEmbedder(self.hidden_size, dtype=self.dtype, name='x_embedder')(x)
+        if self.sequence_mesh is not None:
+            from fitv2_tpu.parallel.mesh import constrain_sequence
+            x = constrain_sequence(x, self.sequence_mesh)
         t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype,
                                  name='t_embedder')(t)
         y_emb = LabelEmbedder(self.num_classes, self.hidden_size,
@@ -197,7 +219,9 @@ class FiT(nn.Module):
                 length=self.depth,
                 in_axes=nn.broadcast,
             )
-            x, _ = ScanBlocks(freeze(block_kwargs), name='blocks')(
+            x, _ = ScanBlocks(freeze(block_kwargs),
+                              sequence_mesh=self.sequence_mesh,
+                              name='blocks')(
                 x, c, mask, freqs_cos, freqs_sin, global_adaln)
         else:
             block_cls = FiTBlock
@@ -207,12 +231,16 @@ class FiT(nn.Module):
             for i in range(self.depth):
                 x = block_cls(**block_kwargs, name=f'blocks_{i}')(
                     x, c, mask, freqs_cos, freqs_sin, global_adaln)
+                if self.sequence_mesh is not None:
+                    from fitv2_tpu.parallel.mesh import constrain_sequence
+                    x = constrain_sequence(x, self.sequence_mesh)
 
         x = FinalLayer(self.hidden_size, self.patch_size, self.out_channels,
                        norm_layer=self.norm_type, adaln_bias=self.adaln_bias,
                        adaln_type=self.adaln_type, dtype=self.dtype,
                        name='final_layer')(x, c)
-        x = x * mask.astype(x.dtype)[..., None]  # zero padded tokens
+        if mask is not None:
+            x = x * mask.astype(x.dtype)[..., None]  # zero padded tokens
         return x
 
     # -- helpers ----------------------------------------------------------

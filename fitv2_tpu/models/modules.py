@@ -52,18 +52,21 @@ def modulate(x: Array, shift: Array, scale: Array) -> Array:
 
 
 def norm_modulate(x: Array, shift: Array, scale: Array, norm_type: str,
-                  norm_module_fn, eps: float = 1e-6) -> Array:
+                  norm_module_fn, eps: float = 1e-6,
+                  quantized: bool = False) -> Array:
     """modulate(norm(x), shift, scale), fused on TPU when possible.
 
     The plain no-affine LayerNorm + global (B, D) conditioning case — the
     hot path of every FiT block — dispatches to the Pallas fused kernel
     (fitv2_tpu/ops/fused_adaln.py); every other combination (weighted norms,
     per-token conditioning) uses the reference chain via ``norm_module_fn``.
+    quantized marks the consumer as an int8 GEMM (the dispatcher then
+    prefers the XLA chain so the s8 cast fuses in).
     """
     if ((norm_type or 'none') == 'layernorm' and shift.ndim == 2
             and scale.ndim == 2):
         from fitv2_tpu.ops.fused_adaln import adaln_norm
-        return adaln_norm(x, shift, scale, eps)
+        return adaln_norm(x, shift, scale, eps, quantized=quantized)
     return modulate(norm_module_fn(x), shift, scale)
 
 
@@ -427,7 +430,8 @@ class FiTBlock(nn.Module):
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
 
         h = norm_modulate(x, shift_msa, scale_msa, self.norm_layer,
-                          LayerNorm(self.norm_layer, name='norm1'))
+                          LayerNorm(self.norm_layer, name='norm1'),
+                          quantized=self.quantized)
         attn_out = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias, q_norm=self.q_norm,
             k_norm=self.k_norm, qk_norm_weight=self.qk_norm_weight,
@@ -439,7 +443,8 @@ class FiTBlock(nn.Module):
         x = x + _expand_mod(gate_msa, x) * attn_out
 
         h = norm_modulate(x, shift_mlp, scale_mlp, self.norm_layer,
-                          LayerNorm(self.norm_layer, name='norm2'))
+                          LayerNorm(self.norm_layer, name='norm2'),
+                          quantized=self.quantized)
         mlp_hidden = int(D * self.mlp_ratio)
         if self.swiglu:
             hidden = mlp_hidden if self.swiglu_large else (mlp_hidden * 2) // 3

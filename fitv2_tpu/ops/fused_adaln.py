@@ -66,10 +66,15 @@ def _forward(x: Array, shift: Array, scale: Array, eps: float,
 
 
 def _reference(x: Array, shift: Array, scale: Array, eps: float) -> Array:
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    xhat = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    # One-pass moments reading x directly (dtype=f32 fuses the convert into
+    # the reduce) — an explicit x.astype(f32) shared by reduce and
+    # normalize makes XLA materialize a full f32 copy (see the same fix in
+    # ops/fused_qk_rope._reference).
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True, dtype=jnp.float32)
+    var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
+    xhat = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
     out = xhat * (1.0 + scale.astype(jnp.float32)[:, None, :]) \
         + shift.astype(jnp.float32)[:, None, :]
     return out.astype(x.dtype)
@@ -108,10 +113,18 @@ def _pick_block_n(n: int, target: int = 256) -> Optional[int]:
 
 
 def adaln_norm(x: Array, shift: Array, scale: Array, eps: float = 1e-6,
-               impl: str = 'auto') -> Array:
-    """Dispatcher: Pallas on TPU, XLA reference elsewhere/on failure."""
+               impl: str = 'auto', quantized: bool = False) -> Array:
+    """Dispatcher: Pallas on TPU, XLA reference elsewhere/on failure.
+
+    quantized=True (the consumer is an int8 GEMM, ops/quant.py): use the
+    XLA chain even on TPU — XLA fuses the downstream round/clip/cast-to-s8
+    into the modulate epilogue, but CANNOT fuse into a Pallas custom-call,
+    so the kernel forces an extra bf16 write + s8 re-read pass (~0.7
+    ms/step at XL; seen in optimized HLO round 3)."""
     on_tpu = jax.default_backend() not in ('cpu',)
     block_n = _pick_block_n(x.shape[-2])
+    if quantized:
+        impl = 'xla'
     if impl == 'pallas' or (impl == 'auto' and on_tpu
                             and x.shape[-1] % 128 == 0
                             and block_n is not None):

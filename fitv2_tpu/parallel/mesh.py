@@ -86,10 +86,22 @@ def sequence_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(('data', 'fsdp'), 'sequence'))
 
 
-def constrain_sequence(x, mesh: Mesh):
-    """Apply the SP activation constraint inside jit (no-op on 1-seq mesh)."""
-    if mesh.shape.get('sequence', 1) == 1:
+def constrain_sequence(x, mesh: Optional[Mesh]):
+    """Apply the SP activation constraint inside jit.
+
+    x: (batch, tokens, ...) activations. No-op when mesh is None or has no
+    'sequence' extent — models carry an optional ``sequence_mesh`` and call
+    this unconditionally (fitv2_tpu/models/fit.py). With a sequence axis,
+    activations STAY token-sharded through the MLP/norm/modulation chain;
+    XLA inserts the attention k/v all-gathers at the softmax einsum and
+    re-partitions afterward (the Ulysses-style SP layout for the long-token
+    HR path; the reference has no SP at all, SURVEY.md §2.9)."""
+    if mesh is None or mesh.shape.get('sequence', 1) == 1:
         return x
+    if (x.ndim < 2
+            or x.shape[0] % (mesh.shape['data'] * mesh.shape['fsdp']) != 0
+            or x.shape[1] % mesh.shape['sequence'] != 0):
+        return x  # e.g. batch-1 init traces; constraint would be invalid
     return jax.lax.with_sharding_constraint(x, sequence_sharding(mesh))
 
 

@@ -100,6 +100,12 @@ def build_sampler(model, params, cfg: SamplingConfig,
     token_dim = model.patch_size ** 2 * model.in_channels
 
     grid, mask, size = make_grid_mask_size(2 * B, n_h, n_w, n_ctx)
+    if n_h * n_w == n_ctx:
+        # full bucket: every token valid -> drop the mask STATICALLY so the
+        # softmax `where` and both padded-output zeroings leave the graph
+        # (the reference sampler always builds mask=ones here,
+        # sample_fitv2_ddp.py:263-271 — identical results)
+        mask = None
     y_null = jnp.full((B,), cfg.num_classes, jnp.int32)
     sigmas = jnp.linspace(0.0, 1.0, cfg.num_sampling_steps + 1)
 

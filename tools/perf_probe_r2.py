@@ -104,7 +104,8 @@ def make_inputs(b2, n_ctx=256, n_h=16, n_w=16):
 def init_params(model, grid, mask, size, y):
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 16), jnp.float32),
-        jnp.zeros((1,)), y[:1], grid[:1], mask[:1], size[:1])['params']
+        jnp.zeros((1,)), y[:1], grid[:1],
+        None if mask is None else mask[:1], size[:1])['params']
     return jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         params)

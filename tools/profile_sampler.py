@@ -55,6 +55,9 @@ def build_step(batch, precision='bf16'):
     if precision == 'int8cal':
         pass  # calibrated below after params exist
     grid, mask, size, _ = make_inputs(b2)
+    # full-grid sampling: mask statically absent (bench.py graph since the
+    # models/fit.py mask=None path landed)
+    mask = None
     y = jnp.concatenate([(jnp.arange(batch) % 1000).astype(jnp.int32),
                          jnp.full((batch,), 1000, jnp.int32)])
     params = init_params(model, grid, mask, size, y)
