@@ -16,7 +16,7 @@ a mesh; shardings come from fitv2_tpu.parallel.mesh.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,3 +156,34 @@ def make_grouped_optimizer(params, group_fn: Callable,
         return _jax.tree_util.tree_map_with_path(label, p)
 
     return optax.multi_transform(group_txs, label_tree)
+
+
+def make_finetune_optimizer(tx: optax.GradientTransformation,
+                            unfreeze: Sequence[str],
+                            finetune_type: str = 'partial'
+                            ) -> optax.GradientTransformation:
+    """Substring freeze-by-pattern (reference fit_model.py:292-300
+    ``FiT.finetune(type, unfreeze)``): with ``finetune_type='full'`` every
+    parameter trains; otherwise every parameter is FROZEN except those whose
+    '/'-joined path contains any substring in ``unfreeze`` (the reference
+    matches against torch parameter names, e.g. 'adaLN' or 'norm').
+
+    Frozen parameters get optax.set_to_zero() updates, so optimizer state
+    for them is empty and their values are bit-preserved across steps.
+    """
+    if finetune_type == 'full':
+        return tx
+
+    unfreeze = tuple(unfreeze)
+
+    def group_fn(path: str, leaf) -> str:
+        return 'train' if any(u in path for u in unfreeze) else 'frozen'
+
+    def label_tree(p):
+        return jax.tree_util.tree_map_with_path(
+            lambda path_tuple, leaf: group_fn(
+                '/'.join(str(getattr(k, 'key', k)) for k in path_tuple),
+                leaf), p)
+
+    return optax.multi_transform(
+        {'train': tx, 'frozen': optax.set_to_zero()}, label_tree)

@@ -32,6 +32,23 @@ def eight_devices():
     return devs
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        '--slow', action='store_true', default=False,
+        help='also run tests marked slow (the full tier; see README)')
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers: `pytest tests/` = fast tier (<10 min, gates work);
+    `pytest tests/ --slow` = full tier (adds the heavy e2e/scale goldens)."""
+    if config.getoption('--slow'):
+        return
+    skip = pytest.mark.skip(reason='slow tier: pass --slow to run')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope='module', autouse=True)
 def _clear_jax_caches_per_module():
     """Bound compile-cache/memory growth so the FULL suite survives one

@@ -212,3 +212,41 @@ def test_optimizer_mu_dtype_bf16():
                for l in jax.tree_util.tree_leaves(st32)
                if hasattr(l, 'dtype') and jnp.issubdtype(l.dtype,
                                                          jnp.floating))
+
+
+def test_finetune_freeze_by_pattern():
+    """make_finetune_optimizer mirrors reference FiT.finetune(type, unfreeze)
+    (fit_model.py:292-300): freeze everything, then unfreeze params whose
+    path contains any given substring."""
+    from fitv2_tpu.train import make_finetune_optimizer
+
+    model = _tiny_model()
+    batch = _batch()
+    params = _init_params(model, batch)
+    transport = create_transport('Linear', 'velocity', snr_type='lognorm')
+    base = make_optimizer(OptimizerConfig(learning_rate=3e-3))
+    tx = make_finetune_optimizer(base, unfreeze=('adaLN', 'final_layer'))
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(make_train_step(model, transport, tx))
+    # 3 steps: adaLN fc1 grads are zero until the zero-initialized fc_out
+    # kernel moves off zero (adaLN-zero init), so one step is not enough
+    # for every trainable leaf to move
+    for i in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(i))
+
+    def changed(path_tuple, old, new):
+        path = '/'.join(str(getattr(k, 'key', k)) for k in path_tuple)
+        moved = bool(np.any(np.asarray(old) != np.asarray(new)))
+        if 'adaLN' in path or 'final_layer' in path:
+            return moved  # trainable: must move (nonzero grads expected)
+        return not moved  # frozen: bit-identical
+
+    flags = jax.tree_util.tree_map_with_path(
+        lambda p, o, n: (p, changed(p, o, n)), params, state.params)
+    bad = [p for p, ok in jax.tree_util.tree_leaves(
+        flags, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2
+        and isinstance(x[1], bool)) if not ok]
+    assert not bad, bad
+
+    # 'full' is a no-op passthrough
+    assert make_finetune_optimizer(base, ('x',), 'full') is base

@@ -1,0 +1,232 @@
+"""Scale-true numerical anchors at the FULL FiTv2-XL configuration.
+
+Round-2 verdict item: all model-level goldens were toy-shape; nothing
+anchored the full 36-block XL graph, the split-layout RoPE basis permutation
+at Dh=72, or accumulation over a multi-step CFG rollout. A committed XL
+golden is impossible (the state dict alone is 2.7 GB), so these tests build
+the independent plain-torch twin (tools/torch_twin.py, default torch init —
+every parameter nonzero) at the exact XL config AT TEST TIME and compare:
+
+  1. single fp32 forward through all 36 blocks (reference
+     fit_model.py:189-233 semantics at configs/fitv2/config_fitv2_xl.yaml
+     dims: hidden 1152, depth 36, heads 16, Dh 72, N 256);
+  2. an 8-step CFG Euler rollout (reference sample_fitv2_ddp.py:297-314)
+     comparing final latents, plus a measured bf16-vs-fp32 drift bound;
+  3. a synthetic full-XL checkpoint written in reference key naming ->
+     safetensors -> ckpt.torch_import -> sampler, asserting the split-basis
+     RoPE q/k permutation end-to-end (the model under test runs
+     rope_layout='split'; the twin rotates interleaved).
+
+RoPE table construction itself is anchored against the reference separately
+(tests/test_rope.py); here the twin consumes the interleaved tables our rope
+produces, so these tests anchor the full-graph composition, not the tables.
+
+All are marked slow: ~670M-param models on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
+
+XL = dict(dim=1152, heads=16, depth=36, in_ch=4, p=2, ncls=1000, lora=288)
+N_CTX = 256
+N_H = N_W = 16
+
+
+def _rope_tables(grid, layout):
+    from fitv2_tpu.models.rope import RopeConfig, build_rope_cache, rope_from_grid
+    cfg = RopeConfig(head_dim=XL['dim'] // XL['heads'], mode='normal',
+                     theta=10000.0, max_cached_len=64, layout=layout)
+    cache = build_rope_cache(cfg)
+    return rope_from_grid(cache, jnp.asarray(grid), layout)
+
+
+def _full_grid(b):
+    gw, gh = np.meshgrid(np.arange(N_W), np.arange(N_H))
+    grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0)
+    grid = np.broadcast_to(grid, (b, 2, N_CTX)).copy().astype(np.int32)
+    mask = np.ones((b, N_CTX), np.float32)
+    size = np.broadcast_to(np.array([[N_H, N_W]]), (b, 1, 2)).copy()
+    return grid, mask, size.astype(np.int32)
+
+
+@pytest.fixture(scope='module')
+def xl_pair():
+    """(torch twin, jax FiT, converted split-layout params)."""
+    import torch
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tools'))
+    from torch_twin import TorchFiT
+
+    from fitv2_tpu.ckpt.torch_import import convert_fit_state_dict
+    from fitv2_tpu.models.fit import FiT
+
+    torch.manual_seed(1234)
+    twin = TorchFiT(XL['dim'], XL['heads'], XL['depth'], XL['in_ch'],
+                    XL['p'], XL['ncls'], XL['lora']).eval()
+
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+    params = convert_fit_state_dict(
+        sd, depth=XL['depth'], adaln_type='lora', scan_blocks=True,
+        num_heads=XL['heads'], rope_layout='split')
+
+    model = FiT(
+        context_size=N_CTX, patch_size=XL['p'], in_channels=XL['in_ch'],
+        hidden_size=XL['dim'], depth=XL['depth'], num_heads=XL['heads'],
+        class_dropout_prob=0.1, num_classes=XL['ncls'], learn_sigma=False,
+        use_sit=True, use_swiglu=True, q_norm='layernorm', k_norm='layernorm',
+        adaln_type='lora', adaln_lora_dim=XL['lora'], custom_freqs='normal',
+        max_cached_len=64, dtype=jnp.float32, rope_layout='split')
+    return twin, model, params
+
+
+def _twin_forward(twin, x, t, y, grid, mask):
+    import torch
+    cos, sin = _rope_tables(grid, 'interleaved')
+    with torch.no_grad():
+        out = twin(torch.from_numpy(x), torch.from_numpy(t),
+                   torch.from_numpy(y), torch.from_numpy(grid),
+                   torch.from_numpy(mask),
+                   torch.from_numpy(np.asarray(cos)),
+                   torch.from_numpy(np.asarray(sin)))
+    return out.numpy()
+
+
+def _rel_l2(a, b):
+    return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
+
+
+def test_xl_forward_parity(xl_pair):
+    """Full 36-block fp32 forward: JAX (split RoPE basis) == torch twin
+    (interleaved basis) through the importer permutation."""
+    twin, model, params = xl_pair
+    rng = np.random.default_rng(7)
+    B = 2
+    grid, mask, size = _full_grid(B)
+    x = rng.standard_normal((B, N_CTX, 16), np.float32)
+    t = rng.uniform(0.1, 0.9, (B,)).astype(np.float32)
+    y = rng.integers(0, XL['ncls'], (B,), dtype=np.int64)
+
+    ref = _twin_forward(twin, x, t, y, grid, mask)
+    out = model.apply({'params': params}, jnp.asarray(x), jnp.asarray(t),
+                      jnp.asarray(y.astype(np.int32)), jnp.asarray(grid),
+                      jnp.asarray(mask), jnp.asarray(size))
+    out = np.asarray(out)
+    err = _rel_l2(out, ref)
+    print(f'XL forward rel-L2 {err:.2e}, max|ref| {np.abs(ref).max():.2f}')
+    assert np.isfinite(out).all()
+    assert err < 1e-4, err
+    # mask=None static path must be bit-compatible on the full grid
+    out_nm = np.asarray(model.apply(
+        {'params': params}, jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(y.astype(np.int32)), jnp.asarray(grid), None,
+        jnp.asarray(size)))
+    assert _rel_l2(out_nm, ref) < 1e-4
+
+
+def test_xl_cfg_rollout_and_bf16_drift(xl_pair):
+    """8-step CFG Euler rollout at XL (reference sample_fitv2_ddp.py:297-314):
+    final fp32 latents match the torch twin; bf16 rollout drift is bounded."""
+    import torch
+    twin, model, params = xl_pair
+    from fitv2_tpu.flow.samplers import cfg_model_fn, euler_sample
+
+    B, steps, cfg_scale = 1, 8, 1.5
+    b2 = 2 * B
+    grid, mask, size = _full_grid(b2)
+    rng = np.random.default_rng(11)
+    z0 = rng.standard_normal((B, N_CTX, 16), np.float32)
+    y = np.concatenate([rng.integers(0, XL['ncls'], (B,), dtype=np.int64),
+                        np.full((B,), XL['ncls'], np.int64)])
+    sigmas = np.linspace(0.0, 1.0, steps + 1, dtype=np.float32)
+
+    # torch rollout (hand Euler loop, mirrors the reference sampler)
+    cos, sin = _rope_tables(grid, 'interleaved')
+    cos_t = torch.from_numpy(np.asarray(cos))
+    sin_t = torch.from_numpy(np.asarray(sin))
+    z = torch.from_numpy(z0.copy())
+    with torch.no_grad():
+        for i in range(steps):
+            z_in = torch.cat([z, z], 0)
+            t2 = torch.full((b2,), float(sigmas[i]))
+            out = twin(z_in, t2, torch.from_numpy(y),
+                       torch.from_numpy(grid), torch.from_numpy(mask),
+                       cos_t, sin_t)
+            c, u = out.chunk(2, dim=0)
+            v = u + cfg_scale * (c - u)
+            z = z + float(sigmas[i + 1] - sigmas[i]) * v
+    ref = z.numpy()
+
+    def rollout(m, p, dtype):
+        yj = jnp.asarray(y.astype(np.int32))
+        gj, mj, sj = jnp.asarray(grid), None, jnp.asarray(size)
+
+        def model_fn(x2, t2):
+            out = m.apply({'params': p}, x2.astype(dtype), t2, yj, gj, mj, sj)
+            return out.astype(jnp.float32)
+
+        fn = cfg_model_fn(model_fn, cfg_scale)
+        return np.asarray(euler_sample(fn, jnp.asarray(z0),
+                                       jnp.asarray(sigmas)))
+
+    out32 = rollout(model, params, jnp.float32)
+    err = _rel_l2(out32, ref)
+    print(f'XL 8-step CFG rollout rel-L2 vs torch {err:.2e}')
+    assert err < 5e-4, err
+
+    bf16_model = model.clone(dtype=jnp.bfloat16)
+    bf16_params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), params)
+    out16 = rollout(bf16_model, bf16_params, jnp.bfloat16)
+    drift = _rel_l2(out16, out32)
+    print(f'XL rollout bf16-vs-fp32 drift rel-L2 {drift:.3f}')
+    assert np.isfinite(out16).all()
+    # measured headroom: bf16 params + bf16 activations over 8 compounding
+    # CFG steps; documents the drift the bench's bf16 path carries
+    assert drift < 0.15, drift
+
+
+def test_xl_synthetic_checkpoint_end_to_end(xl_pair, tmp_path):
+    """Reference-named safetensors -> torch_import.init_from_ckpt -> one
+    sampler step == the in-memory conversion path, bit-for-bit."""
+    import torch
+    twin, model, params = xl_pair
+    from safetensors.numpy import save_file
+
+    from fitv2_tpu.ckpt.torch_import import init_from_ckpt
+
+    path = str(tmp_path / 'model_ema.safetensors')
+    save_file({k: v.numpy() for k, v in twin.state_dict().items()}, path)
+    loaded = init_from_ckpt(path, depth=XL['depth'], adaln_type='lora',
+                            num_heads=XL['heads'], rope_layout='split',
+                            verbose=False)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(loaded))
+    assert len(flat_a) == len(flat_b)
+    for path_k, va in flat_a:
+        vb = flat_b[path_k]
+        assert va.shape == vb.shape, path_k
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=str(path_k))
+
+    # one denoise step from the file-loaded params, against the twin
+    rng = np.random.default_rng(3)
+    B = 1
+    grid, mask, size = _full_grid(B)
+    x = rng.standard_normal((B, N_CTX, 16), np.float32)
+    t = np.full((B,), 0.3, np.float32)
+    y = rng.integers(0, XL['ncls'], (B,), dtype=np.int64)
+    ref = _twin_forward(twin, x, t, y, grid, mask)
+    out = np.asarray(model.apply(
+        {'params': loaded}, jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(y.astype(np.int32)), jnp.asarray(grid),
+        jnp.asarray(mask), jnp.asarray(size)))
+    assert _rel_l2(out, ref) < 1e-4

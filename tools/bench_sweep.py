@@ -52,7 +52,7 @@ def make_sampler(model, batch, calib=None):
     gw, gh = np.meshgrid(np.arange(n_w), np.arange(n_h))
     grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0)
     grid = jnp.asarray(np.broadcast_to(grid, (b2, 2, n_ctx)), jnp.int32)
-    mask = jnp.ones((b2, n_ctx), jnp.float32)
+    mask = None  # full grid: statically-absent mask (bench.py parity)
     size = jnp.asarray(np.broadcast_to(np.array([[n_h, n_w]]), (b2, 1, 2)),
                        jnp.int32)
     y = jnp.concatenate([(jnp.arange(batch) % 1000).astype(jnp.int32),
@@ -87,7 +87,7 @@ def make_sampler(model, batch, calib=None):
         b = z.shape[0]
         return model.apply(
             {'params': params}, z, jnp.full((b,), t, jnp.float32), y[:b],
-            grid[:b], mask[:b], size[:b])
+            grid[:b], None, size[:b])
 
     return sample_bound, jax.jit(fwd)
 

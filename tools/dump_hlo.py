@@ -28,8 +28,8 @@ import jax.numpy as jnp
 def main():
     precision = sys.argv[1] if len(sys.argv) > 1 else 'int8cal'
     outfile = sys.argv[2] if len(sys.argv) > 2 else f'/tmp/hlo_{precision}.txt'
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     from perf_probe_r2 import build_xl, make_inputs, init_params
-    batch = 8
     b2 = 2 * batch
     model = build_xl('auto')
     if precision != 'bf16':

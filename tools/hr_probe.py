@@ -107,26 +107,36 @@ def stage_fwd():
     b2 = 2 * B
     grid, mask, size, y = make_inputs(b2)
     t = jnp.full((b2,), 0.5, jnp.float32)
+    fns = {}
     for online in (False, True):
         model = build_hr(online)
         params = init_params(model, grid, mask, size, y)
         print(f'compiling fwd online={online}...', flush=True)
-        f = jax.jit(lambda p, x: model.apply({'params': p}, x, t, y, grid,
-                                             mask, size))
+        f = jax.jit(lambda p, x, model=model: model.apply(
+            {'params': p}, x, t, y, grid, None, size))
         x = jax.random.normal(jax.random.PRNGKey(1), (b2, N_CTX, 16),
                               jnp.bfloat16)
-        out = f(params, x)
-        jax.block_until_ready(out)
-        n = 10
-        t0 = time.perf_counter()
-        for _ in range(n):
-            # serialize via data dependence (output feeds the next input)
-            out = f(params, (out * 0.1).astype(jnp.bfloat16))
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / n
-        flops = 4 * 0.294e12 * (b2 / 2)  # per fwd (GEMM-dominated est)
-        print(f'HR fwd online={online}: {dt*1e3:8.2f} ms '
-              f'({flops/dt/1e12:5.1f} TFLOP/s GEMM-eff)', flush=True)
+        jax.block_until_ready(f(params, x))
+        fns[online] = (f, params)
+    # run-order control for the round-2 "online (57 ms) faster than cached
+    # (95 ms)" anomaly: interleave A/B twice after both are compiled+warm
+    for rep in range(2):
+        for online in ((False, True) if rep % 2 == 0 else (True, False)):
+            f, params = fns[online]
+            x = jax.random.normal(jax.random.PRNGKey(1), (b2, N_CTX, 16),
+                                  jnp.bfloat16)
+            out = f(params, x)
+            jax.block_until_ready(out)
+            n = 10
+            t0 = time.perf_counter()
+            for _ in range(n):
+                # serialize via data dependence (output feeds next input)
+                out = f(params, (out * 0.1).astype(jnp.bfloat16))
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / n
+            flops = 4 * 0.294e12 * (b2 / 2)  # per fwd (GEMM-dominated est)
+            print(f'HR fwd rep={rep} online={online}: {dt*1e3:8.2f} ms '
+                  f'({flops/dt/1e12:5.1f} TFLOP/s GEMM-eff)', flush=True)
 
 
 def stage_attn():
@@ -168,20 +178,38 @@ def stage_sampler():
     grid, mask, size, _ = make_inputs(b2)
     y = jnp.concatenate([(jnp.arange(B) % 1000).astype(jnp.int32),
                          jnp.full((B,), 1000, jnp.int32)])
-    for precision in ('bf16', 'int8'):
+    for precision in ('bf16', 'int8cal'):
         for online in (True,):
-            model = build_hr(online, precision)
+            model = build_hr(online,
+                             'int8' if precision == 'int8cal' else precision)
             params = init_params(model, grid, mask, size, y)
             sigmas = jnp.linspace(0.0, 1.0, 251)
+            extra = {}
+            if precision == 'int8cal':
+                # static scales + prequantized weights (bench.py serving mode)
+                from fitv2_tpu.ops.quant import (calibrate_quant_scales,
+                                                 prequantize_weights)
+                zz = jax.random.normal(jax.random.PRNGKey(9),
+                                       (b2, N_CTX, 16), jnp.float32)
+                cal_batches = [
+                    (zz * s, jnp.full((b2,), t, jnp.float32), y, grid, None,
+                     size) for s, t in ((1.0, 0.1), (0.8, 0.5), (0.6, 0.9))]
+                extra = {
+                    'quant_calib': calibrate_quant_scales(model, params,
+                                                          cal_batches),
+                    'quant_weights': prequantize_weights(model, params,
+                                                         cal_batches[0]),
+                }
+                print('calibrated + prequantized', flush=True)
 
             @jax.jit
-            def sample(params, z):
+            def sample(params, extra, z):
                 def step(z, pair):
                     t_cur, t_next = pair[0], pair[1]
                     z2 = jnp.concatenate([z, z], axis=0)
                     t2 = jnp.full((b2,), t_cur, jnp.float32)
-                    out = model.apply({'params': params}, z2, t2, y, grid,
-                                      mask, size)
+                    out = model.apply({'params': params, **extra}, z2, t2, y,
+                                      grid, None, size)
                     cond, uncond = jnp.split(out.astype(jnp.float32), 2,
                                              axis=0)
                     vv = uncond + 1.65 * (cond - uncond)
@@ -194,9 +222,9 @@ def stage_sampler():
                                    jnp.float32)
             print(f'compiling HR sampler {precision} online={online}...',
                   flush=True)
-            sample(params, z0).block_until_ready()
+            sample(params, extra, z0).block_until_ready()
             t0 = time.perf_counter()
-            out = sample(params, z0)
+            out = sample(params, extra, z0)
             out.block_until_ready()
             dt = time.perf_counter() - t0
             print(f'HR sampler {precision}: {dt:7.2f} s -> '
