@@ -16,12 +16,28 @@ import numpy as np
 from fitv2_tpu.eval import statistics as stats
 from fitv2_tpu.eval.inception import compute_activations, load_inception
 
+# The published FiTv2 FID numbers (README.md:54) come from the ADM suite's
+# TF1 InceptionV3 graph (/root/reference/fit/utils/evaluator.py:15-23). This
+# evaluator reproduces the architecture + statistics pipeline and is
+# golden-tested against a pytorch-fid-layout twin, but unless
+# `inception_weights` points at a converted copy of those weights, FID values
+# are internally consistent (comparable across runs of THIS pipeline) yet NOT
+# directly comparable to the reference's published numbers.
+FID_COMPARABILITY_NOTE = (
+    'FID computed with non-ADM Inception weights: comparable across this '
+    'pipeline only, not to published FiTv2 numbers (pass the converted ADM '
+    'TF-Inception weights for cross-paper comparability).')
+
 
 class Evaluator:
     def __init__(self, inception_weights: Optional[str] = None,
                  batch_size: int = 64):
         self.model, self.params = load_inception(inception_weights)
         self.batch_size = batch_size
+        self.comparable_to_published = inception_weights is not None
+        if not self.comparable_to_published:
+            import logging
+            logging.getLogger(__name__).warning(FID_COMPARABILITY_NOTE)
 
     def read_activations(self, images_or_npz) -> Dict[str, np.ndarray]:
         """images uint8 array or path to an npz with arr_0."""

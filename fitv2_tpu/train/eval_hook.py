@@ -81,7 +81,9 @@ class InlineEvalHook:
             fid = stats.fid_from_activations(self._ref_acts['pool3'],
                                              acts['pool3'])
             is_score = stats.inception_score(acts['softmax'])
-            logger.info('inline eval step %d: fid=%.3f is=%.3f',
-                        step, fid, is_score)
+            note = ('' if self._evaluator.comparable_to_published
+                    else ' [non-ADM weights: not comparable to published]')
+            logger.info('inline eval step %d: fid=%.3f is=%.3f%s',
+                        step, fid, is_score, note)
             train_metrics['inline_fid'] = fid
             train_metrics['inline_is'] = is_score
