@@ -85,6 +85,44 @@ def _xla_masked_attention(q: Array, k: Array, v: Array,
     return jnp.einsum('bhqk,bkhd->bqhd', probs, v)
 
 
+def _xla_chunked_attention(q: Array, k: Array, v: Array,
+                           mask: Optional[Array],
+                           chunk: int = 64) -> Array:
+    """Query-chunked bounded-softmax attention (round-3 VERDICT #1).
+
+    Ablation (tools/ablate_probe.py) measured the monolithic XLA chain at
+    5.37 ms/step on the XL int8 sampler (batch 8): the (B, H, N, N) bf16
+    logits tensor (33.5 MB) exceeds XLA's alternate-memory budget, so the
+    probs round-trip HBM (~2.9 ms/step of pure traffic) even though every
+    OTHER large per-block intermediate is VMEM-resident at this batch.
+    Splitting queries into `chunk`-row tiles keeps each logits tile at
+    (B, H, chunk, N) — small enough for the alternate-memory assigner —
+    removing the round trip without a custom kernel. Same math as the
+    bounded path in _xla_masked_attention (exp without max-subtraction,
+    denominator folded into the AV dot via a ones column); requires
+    LayerNormed q AND k (|logit| <= sqrt(Dh)).
+    """
+    b, n, h, dh = q.shape
+    scale = dh ** -0.5
+    acc = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    key_valid = None if mask is None else (mask > 0)[:, None, None, :]
+    v_ext = jnp.concatenate([v, jnp.ones((b, n, h, 1), v.dtype)], axis=-1)
+    outs = []
+    for i in range(0, n, chunk):
+        qc = q[:, i:i + chunk]
+        logits = jnp.einsum('bqhd,bkhd->bhqk', qc, k,
+                            preferred_element_type=acc) * jnp.asarray(
+                                scale, acc)
+        e = jnp.exp(logits.astype(jnp.float32))
+        if key_valid is not None:
+            e = jnp.where(key_valid, e, 0.0)
+        e = e.astype(v.dtype)
+        o_ext = jnp.einsum('bhqk,bkhd->bqhd', e, v_ext,
+                           preferred_element_type=jnp.float32)
+        outs.append((o_ext[..., :dh] / o_ext[..., dh:]).astype(v.dtype))
+    return jnp.concatenate(outs, axis=1)
+
+
 # Measured dead end (round 2): int8 attention. Int8 probabilities cannot
 # use a fixed scale — e = exp(logits) spans (0, e^sqrt(Dh)] so a global
 # scale saturates and any per-row normalization reintroduces the extra
@@ -125,10 +163,30 @@ def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
     #   so 'auto' never picks the Pallas kernel; impl='pallas' opts in
     #   (e.g. for sequences long enough that even bf16 (B,H,N,N) logits
     #   do not fit in HBM).
+    #   round 3 (XL int8 sampler, batch 8, tools/ablate_probe.py): the XLA
+    #   chain measures 5.37 ms/step = ~149 us/block, ~= its serial
+    #   traffic+matmul budget (bf16 logits round-trip 67 MB + ~75 us
+    #   batched-dot time). Both alternatives measured WORSE end-to-end:
+    #   'xla_chunked' 64-query tiles 38.4 vs 20.5 ms/step (the tiles did
+    #   not earn alternate-memory residency; 4x smaller dots lost more than
+    #   the traffic saved), and the head-major grid=(B,) Pallas core
+    #   (ops/attention_core.py) 35.8 ms/step (~560 us/block — the third
+    #   kernel design to lose 3.5-6x against XLA's batched dots at
+    #   N=256/Dh=72). 'auto' stays on the monolithic XLA chain.
     if impl == 'pallas':
         try:
             from fitv2_tpu.ops.flash_attention import flash_masked_attention
             return flash_masked_attention(q, k, v, mask)
         except Exception:
             pass  # fall back to XLA (e.g. CPU tests, unsupported shapes)
+    if impl == 'pallas_core' and bounded_logits:
+        try:
+            from fitv2_tpu.ops.attention_core import attention_core
+            qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            return attention_core(qh, kh, vh, mask).transpose(0, 2, 1, 3)
+        except Exception:
+            pass  # fall back to XLA (e.g. CPU without interpret mode)
+    if (bounded_logits and n >= 128 and n % 64 == 0
+            and impl == 'xla_chunked'):
+        return _xla_chunked_attention(q, k, v, mask)
     return _xla_masked_attention(q, k, v, mask, bounded_logits)

@@ -66,14 +66,26 @@ def int8_matmul(x: Array, w_q: Array, w_scale: Array,
     if act_scale is None:
         xq, x_scale = quantize_symmetric(x, axis=-1)
     else:
+        # static scalar scale: quantize by a HOISTED reciprocal multiply
+        # (a per-element divide costs several VPU cycles vs 1 for mul, on
+        # ~27M quantized elements per XL block)
         x_scale = act_scale.astype(jnp.float32)
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / x_scale)),
                       -127, 127).astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    out = y.astype(jnp.float32) * x_scale * w_scale.reshape(
-        (1,) * (y.ndim - 1) + (-1,))
+    w_scale_b = w_scale.reshape((1,) * (y.ndim - 1) + (-1,))
+    if act_scale is not None:
+        # fold scalar row scale x col scales into ONE (1, N) vector BEFORE
+        # the elementwise dequant: XLA does not reassociate f32 products,
+        # so y*x_scale*w_scale costs two full passes over the GEMM output;
+        # the combined vector is loop-invariant and hoists out of the
+        # sampling scan. (Dynamic mode keeps the two-factor form: its
+        # per-row x per-col product would materialize a full (..., N) scale.)
+        out = y.astype(jnp.float32) * (x_scale * w_scale_b)
+    else:
+        out = y.astype(jnp.float32) * x_scale * w_scale_b
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(out_dtype)

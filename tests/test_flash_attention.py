@@ -76,3 +76,84 @@ def test_flash_gradient_matches_xla():
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_matches_monolithic_bounded():
+    """Query-chunked bounded-softmax attention (ops/attention.py
+    _xla_chunked_attention) is bit-compatible with the monolithic bounded
+    chain — same exp/ones-column math, only the query tiling differs.
+    Requires LayerNormed q/k (the bounded-logits contract)."""
+    from fitv2_tpu.ops.attention import (_xla_chunked_attention,
+                                         masked_attention)
+
+    def ln(x):
+        m = x.mean(-1, keepdims=True)
+        v = x.var(-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-6)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    b, n, h, dh = 2, 256, 4, 72
+    q = ln(jax.random.normal(k1, (b, n, h, dh)))
+    k = ln(jax.random.normal(k2, (b, n, h, dh)))
+    v = jax.random.normal(k3, (b, n, h, dh))
+    mask = jnp.asarray(np.concatenate(
+        [np.ones((1, n), np.float32),
+         np.concatenate([np.ones((1, 200), np.float32),
+                         np.zeros((1, n - 200), np.float32)], 1)]))
+    for m in (None, mask):
+        ref = _xla_masked_attention(q, k, v, m, bounded_logits=True)
+        out = _xla_chunked_attention(q, k, v, m)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        # dispatcher routes impl='xla_chunked' to the chunked path
+        via = masked_attention(q, k, v, m, impl='xla_chunked',
+                               bounded_logits=True)
+        np.testing.assert_allclose(np.asarray(via), np.asarray(out),
+                                   rtol=0, atol=0)
+
+
+def test_attention_core_matches_xla_bounded():
+    """attention_core (Pallas, head-major, bounded softmax) matches the
+    monolithic bounded XLA chain in interpret mode, fwd + custom_vjp."""
+    import fitv2_tpu.ops.attention_core as ac
+
+    def ln(x):
+        m = x.mean(-1, keepdims=True)
+        v = x.var(-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-6)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    b, n, h, dh = 2, 128, 2, 72
+    q = ln(jax.random.normal(k1, (b, n, h, dh)))
+    k = ln(jax.random.normal(k2, (b, n, h, dh)))
+    v = jax.random.normal(k3, (b, n, h, dh))
+    mask = jnp.asarray(np.concatenate(
+        [np.ones((1, n), np.float32),
+         np.concatenate([np.ones((1, 96), np.float32),
+                         np.zeros((1, n - 96), np.float32)], 1)]))
+
+    old = ac._INTERPRET
+    ac._INTERPRET = True
+    try:
+        for m in (None, mask):
+            ref = _xla_masked_attention(q, k, v, m, bounded_logits=True)
+            qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            out = ac.attention_core(qh, kh, vh, m).transpose(0, 2, 1, 3)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+        def loss(q, k, v):
+            qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            return jnp.sum(ac.attention_core(qh, kh, vh, mask) ** 2)
+
+        def loss_ref(q, k, v):
+            o = _xla_masked_attention(q, k, v, mask, bounded_logits=True)
+            return jnp.sum(o ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, bb in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        ac._INTERPRET = old

@@ -79,10 +79,13 @@ def main():
                        impl='auto'):
         return q, k
 
+    import fitv2_tpu.ops.quant as _qmod
+    _orig_matmul = _qmod.int8_matmul
     results = {}
     for variant in variants:
         modules.masked_attention = orig_attn
         fqr.qk_norm_rope = orig_qk
+        _qmod.int8_matmul = _orig_matmul
         # models.modules imported qk_norm_rope lazily inside __call__ from
         # fitv2_tpu.ops.fused_qk_rope, so patching the module attr works.
         if variant in ('noattn', 'nopre'):
@@ -90,7 +93,33 @@ def main():
         if variant == 'nopre':
             fqr.qk_norm_rope = qk_passthrough
 
-        sample, _ = make_sampler(model, BATCH, calib)
+        impls = {'chunked': 'xla_chunked', 'core': 'pallas_core'}
+        m = (model.clone(attn_impl=impls[variant]) if variant in impls
+             else model)
+        if variant == 'bf16quant':
+            # quantize arithmetic in bf16 (drops one convert pass per site)
+            import fitv2_tpu.ops.quant as qmod
+            _orig_int8_matmul = qmod.int8_matmul
+
+            def int8_matmul_bf16q(x, w_q, w_scale, bias=None,
+                                  out_dtype=jnp.bfloat16, act_scale=None):
+                if act_scale is None:
+                    return _orig_int8_matmul(x, w_q, w_scale, bias,
+                                             out_dtype, None)
+                inv = (1.0 / act_scale.astype(jnp.float32)).astype(x.dtype)
+                xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+                y = jax.lax.dot_general(
+                    xq, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                ws = w_scale.reshape((1,) * (y.ndim - 1) + (-1,))
+                out = y.astype(jnp.float32) * (
+                    act_scale.astype(jnp.float32) * ws)
+                if bias is not None:
+                    out = out + bias.astype(jnp.float32)
+                return out.astype(out_dtype)
+
+            qmod.int8_matmul = int8_matmul_bf16q
+        sample, _ = make_sampler(m, BATCH, calib)
         z0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 256, 16),
                                jnp.float32)
         print(f'compiling {variant}...', flush=True)
