@@ -38,9 +38,73 @@ def pytest_addoption(parser):
         help='also run tests marked slow (the full tier; see README)')
 
 
+# Tests measured >= ~25 s serial (single-core box, full-suite duration run
+# 2026-08-17: 4959 s total). Marked centrally so the tier assignment has one
+# source of truth; modules that are slow wholesale carry their own
+# `pytestmark = pytest.mark.slow` instead (test_xl_scale_goldens,
+# test_overfit_e2e). Fast tier after exclusion: ~10 min serial.
+_SLOW_TESTS = {
+    'test_lwd_recipes.py': ['test_finetune_recipe',
+                            'test_finetune_only_updates_forecaster',
+                            'test_multiscale_recipe',
+                            'test_cli_train_lwd_smoke'],
+    'test_fid_pipeline_e2e.py': ['test_sample_to_fid'],
+    'test_lwd_trainer.py': ['test_lwd_trainer_loop'],
+    'test_lwd.py': ['test_lwd_train_step_reduces_loss',
+                    'test_sample_and_cfg_shapes',
+                    'test_forward_run_layer_segments_differ',
+                    'test_sample_maruyama_cfg'],
+    'test_lwd_sharedenc.py': ['test_forward_run_layer_finetune_modes',
+                              'test_sample_maruyama_cfg_runs',
+                              'test_sample_wo_cfg_family_returns',
+                              'test_sample_maruyama_global_cfg',
+                              'test_sample_cfg_guidance_window',
+                              'test_forward_run_layer_returns_projection',
+                              'test_sample_maruyama_plain_and_intermediates'],
+    'test_trainer.py': ['test_trainer_end_to_end_with_resume',
+                        'test_trainer_came_optimizer',
+                        'test_trainer_ddpm_objective_fitv1'],
+    'test_lwd_distill.py': ['test_distill_step_runs_and_reduces_loss'],
+    'test_evaluator_e2e.py': ['test_compute_all_identical_batches'],
+    'test_sample_pipeline.py': ['test_sampler_with_vae_uint8'],
+    'test_eval.py': ['test_inception_forward_shapes'],
+    'test_lwd_multiscale.py': ['test_sample_multiscale_runs'],
+    'test_cli.py': ['test_cli_train_smoke'],
+    'test_train.py': ['test_train_step_reduces_loss',
+                      'test_sharded_train_step_on_mesh'],
+    'test_ckpt_key_inventory.py': [
+        'test_inventory_converts_fully_and_matches_flax_tree'],
+    'test_timestep_sampler.py': ['test_ddpm_step_accepts_importance_batch'],
+    'test_quant.py': ['test_fit_int8_calibrated_forward',
+                      'test_build_sampler_int8_serving'],
+    'test_gan_ddpm_steps.py': ['test_ddpm_train_step_fitv1',
+                               'test_gan_steps'],
+    'test_vae.py': ['test_importer_covers_init_tree'],
+    'test_losses.py': ['test_discriminator_shapes_and_grads',
+                       'test_lpips_zero_for_identical_inputs'],
+    'test_sequence_parallel.py': ['test_sp_train_step_grads_match'],
+    'test_eval_hook.py': ['test_inline_eval_hook_preview'],
+    'test_attention_viz.py': ['test_capture_and_rollout'],
+}
+_SLOW_TESTS['test_quant.py'].append('test_fitlwd_int8_sampler_runs')
+_SLOW_TESTS['test_lwd.py'] += ['test_fourier_basis_output',
+                               'test_shared_trunk_blocks',
+                               'test_repa_head_and_alignment',
+                               'test_sample_intermediates_and_representations']
+_SLOW_TESTS['test_sample_pipeline.py'].append('test_sampler_latents_only')
+_SLOW_TESTS['test_train.py'].append('test_finetune_freeze_by_pattern')
+_SLOW_TESTS['test_gan_ddpm_steps.py'].append('test_gan_steps')
+
+
 def pytest_collection_modifyitems(config, items):
-    """Two test tiers: `pytest tests/` = fast tier (<10 min, gates work);
-    `pytest tests/ --slow` = full tier (adds the heavy e2e/scale goldens)."""
+    """Two test tiers: `pytest tests/` = fast tier (~10 min, gates work);
+    `pytest tests/ --slow` = full tier (adds the heavy e2e/scale goldens,
+    ~80 min serial)."""
+    for item in items:
+        names = _SLOW_TESTS.get(item.fspath.basename, ())
+        base = item.name.split('[')[0]
+        if base in names:
+            item.add_marker(pytest.mark.slow)
     if config.getoption('--slow'):
         return
     skip = pytest.mark.skip(reason='slow tier: pass --slow to run')
