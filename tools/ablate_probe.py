@@ -75,6 +75,27 @@ def main():
     def attn_identity(q, k, v, mask=None, **kw):
         return v
 
+    def attn_head_split(q, k, v, mask=None, **kw):
+        # bounded-softmax chain over 2 head groups: halves the live
+        # (B, H, N, N) logits tensor (33.5 -> 16.8 MB) hoping it earns the
+        # alternate-memory assignment the full tensor is denied
+        dh = q.shape[-1]
+        scale = dh ** -0.5
+        b, n, h, _ = v.shape
+        outs = []
+        for qg, kg, vg in zip(jnp.split(q, 2, axis=2),
+                              jnp.split(k, 2, axis=2),
+                              jnp.split(v, 2, axis=2)):
+            logits = jnp.einsum('bqhd,bkhd->bhqk', qg, kg,
+                                preferred_element_type=jnp.bfloat16)
+            e = jnp.exp(logits.astype(jnp.float32) * scale).astype(vg.dtype)
+            ve = jnp.concatenate(
+                [vg, jnp.ones((b, n, h // 2, 1), vg.dtype)], axis=-1)
+            o = jnp.einsum('bhqk,bkhd->bqhd', e, ve,
+                           preferred_element_type=jnp.float32)
+            outs.append((o[..., :dh] / o[..., dh:]).astype(vg.dtype))
+        return jnp.concatenate(outs, axis=2)
+
     def qk_passthrough(q, k, cos, sin, eps=1e-6, norm_q=True, norm_k=True,
                        impl='auto'):
         return q, k
@@ -90,6 +111,8 @@ def main():
         # fitv2_tpu.ops.fused_qk_rope, so patching the module attr works.
         if variant in ('noattn', 'nopre'):
             modules.masked_attention = attn_identity
+        if variant == 'hsplit':
+            modules.masked_attention = attn_head_split
         if variant == 'nopre':
             fqr.qk_norm_rope = qk_passthrough
 
