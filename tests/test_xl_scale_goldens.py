@@ -230,3 +230,59 @@ def test_xl_synthetic_checkpoint_end_to_end(xl_pair, tmp_path):
         jnp.asarray(y.astype(np.int32)), jnp.asarray(grid),
         jnp.asarray(mask), jnp.asarray(size)))
     assert _rel_l2(out, ref) < 1e-4
+
+
+def test_hr_online_ntk_forward_parity(xl_pair):
+    """Long-token anchor: the SAME XL weights at the HR configuration
+    (N=1024 / 32x32 grid, online decoupled NTK-aware RoPE, reference
+    configs/fitv2/config_fitv2_hr_xl.yaml:43-47) match the torch twin fed
+    the interleaved online tables our rope produces. Anchors the full-graph
+    composition at 1024 tokens — the bench's HR path — not just the rope
+    tables (tests/test_rope.py covers those per-mode)."""
+    import torch
+    twin, model, params = xl_pair
+    from fitv2_tpu.models.rope import RopeConfig, online_rope_from_grid
+
+    n_h = n_w = 32
+    n_ctx = n_h * n_w
+    B = 1
+    gw, gh = np.meshgrid(np.arange(n_w), np.arange(n_h))
+    grid = np.broadcast_to(
+        np.stack([gw.reshape(-1), gh.reshape(-1)], 0),
+        (B, 2, n_ctx)).copy().astype(np.int32)
+    mask = np.ones((B, n_ctx), np.float32)
+    size = np.broadcast_to(np.array([[n_h, n_w]]),
+                           (B, 1, 2)).copy().astype(np.int32)
+
+    hr = model.clone(context_size=n_ctx, custom_freqs='ntk-aware',
+                     online_rope=True, decouple=True, ori_max_pe_len=16,
+                     max_cached_len=32)
+
+    # the twin consumes interleaved tables; build them with the same online
+    # decoupled NTK config the HR model uses internally (split layout)
+    cfg = RopeConfig(head_dim=XL['dim'] // XL['heads'], mode='ntk-aware',
+                     theta=10000.0, max_cached_len=32, decouple=True,
+                     ori_max_pe_len=16, online=True, layout='interleaved')
+    cos, sin = online_rope_from_grid(cfg, jnp.asarray(grid),
+                                     jnp.asarray(size))
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((B, n_ctx, 16), np.float32)
+    t = np.full((B,), 0.4, np.float32)
+    y = rng.integers(0, XL['ncls'], (B,), dtype=np.int64)
+
+    with torch.no_grad():
+        ref = twin(torch.from_numpy(x), torch.from_numpy(t),
+                   torch.from_numpy(y), torch.from_numpy(grid),
+                   torch.from_numpy(mask),
+                   torch.from_numpy(np.asarray(cos)),
+                   torch.from_numpy(np.asarray(sin))).numpy()
+
+    out = np.asarray(hr.apply(
+        {'params': params}, jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(y.astype(np.int32)), jnp.asarray(grid),
+        jnp.asarray(mask), jnp.asarray(size)))
+    err = _rel_l2(out, ref)
+    print(f'HR online-NTK N=1024 forward rel-L2 {err:.2e}')
+    assert np.isfinite(out).all()
+    assert err < 1e-4, err
