@@ -44,6 +44,12 @@ def parse_args(argv=None):
                    help="override network gemm_precision; 'int8' runs the "
                         'block GEMMs on the double-rate W8A8 MXU path '
                         '(ops/quant.py) — a serving speed mode')
+    p.add_argument('--velocity-eval-every', type=int, default=1,
+                   help='training-free NFE reduction: run the model only '
+                        'on every N-th ladder step, linear velocity '
+                        'extrapolation in between '
+                        '(flow/samplers.euler_sample_extrapolated); '
+                        '1 = exact dense Euler (parity path)')
     return p.parse_args(argv)
 
 
@@ -84,7 +90,8 @@ def main(argv=None):
         per_device_batch=args.per_device_batch,
         interpolation=args.interpolation, decouple=args.decouple,
         ori_max_pe_len=args.ori_max_pe_len,
-        data_parallel=args.data_parallel)
+        data_parallel=args.data_parallel,
+        velocity_eval_every=args.velocity_eval_every)
     fn = build_sampler(model, params, scfg, vae, vae_params)
     images = generate_fid_samples(
         fn, args.num_fid_samples,

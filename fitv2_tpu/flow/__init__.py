@@ -2,7 +2,8 @@
 
 from fitv2_tpu.flow.path import GVPCPlan, ICPlan, VPCPlan, expand_t_like_x
 from fitv2_tpu.flow.samplers import (
-    Sampler, cfg_model_fn, euler_sample, ode_dopri5, ode_euler, ode_heun,
+    Sampler, cfg_model_fn, euler_sample, euler_sample_extrapolated,
+    ode_dopri5, ode_euler, ode_heun,
     sde_sample,
 )
 from fitv2_tpu.flow.transport import (
@@ -12,7 +13,8 @@ from fitv2_tpu.flow.transport import (
 
 __all__ = [
     'GVPCPlan', 'ICPlan', 'VPCPlan', 'expand_t_like_x',
-    'Sampler', 'cfg_model_fn', 'euler_sample', 'ode_dopri5', 'ode_euler',
+    'Sampler', 'cfg_model_fn', 'euler_sample', 'euler_sample_extrapolated',
+    'ode_dopri5', 'ode_euler',
     'ode_heun', 'sde_sample',
     'ModelType', 'PathType', 'SNRType', 'Transport', 'WeightType',
     'create_transport', 'masked_loss_ratio', 'mean_flat',

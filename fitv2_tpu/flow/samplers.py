@@ -53,6 +53,64 @@ def euler_sample(model_fn: ModelFn, x: Array, sigmas: Array,
     return (x_final, traj) if return_trajectory else x_final
 
 
+def euler_sample_extrapolated(model_fn: ModelFn, x: Array, sigmas: Array,
+                              eval_every: int = 2) -> Array:
+    """Training-free NFE reduction by velocity extrapolation.
+
+    Euler over the full ``sigmas`` ladder, but the model only runs on every
+    ``eval_every``-th step; intermediate steps reuse a linear-in-t
+    extrapolation of the velocity, v_k ~= v_e + (v_e - v_prev_e)/dt_e *
+    (t_k - t_e), exploiting that rectified-flow velocity fields vary slowly
+    along the trajectory (the premise of the training-free accelerators in
+    PAPERS.md — velocity decomposition/estimation and speculative flow
+    matching; this is the simplest first-order member of that family,
+    implemented TPU-style as one lax.scan with a branch-free mask).
+
+    NOT the same as a coarser Euler grid: the state still advances on the
+    fine ladder with a per-step velocity estimate. With eval_every=2 the
+    model cost halves; tests/test_transport.py bounds the endpoint drift
+    vs dense Euler and shows it beats the half-step Euler ladder on the
+    same budget. Opt-in; the parity path stays euler_sample.
+    """
+    steps = sigmas.shape[0] - 1
+    t_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
+
+    # Structure: scan over eval blocks. Each block = ONE model call + an
+    # inner scan of `eval_every` Euler sub-steps on the fine ladder using
+    # the extrapolated velocity (a lax.cond inside a flat step scan would
+    # not remove the model cost — both branches compile into the scan body).
+    # A non-dividing ladder gets a separate tail block (one extra model
+    # call) for the remaining steps.
+    n_blocks = steps // eval_every
+    rem = steps - n_blocks * eval_every
+    block_pairs = t_pairs[:n_blocks * eval_every].reshape(
+        n_blocks, eval_every, 2)
+
+    def block(carry, pairs):
+        z, v_prev, t_prev, have_prev = carry
+        t_e = pairs[0, 0]
+        t_vec = jnp.full((z.shape[0],), t_e, z.dtype)
+        v_e = model_fn(z, t_vec)
+        slope = jnp.where(have_prev > 0,
+                          1.0 / jnp.maximum(t_e - t_prev, 1e-8), 0.0)
+        dv = (v_e - v_prev) * slope
+        # sub-step 0 uses v_e exactly; later sub-steps extrapolate
+        def sub(zc, pair):
+            t_cur, t_next = pair[0], pair[1]
+            v = v_e + dv * (t_cur - t_e)
+            return zc + (t_next - t_cur) * v, None
+        z, _ = jax.lax.scan(sub, z, pairs)
+        return (z, v_e, t_e, jnp.float32(1.0)), None
+
+    v0 = jnp.zeros_like(x)
+    carry = (x, v0, jnp.float32(0.0), jnp.float32(0.0))
+    if n_blocks:
+        carry, _ = jax.lax.scan(block, carry, block_pairs)
+    if rem:
+        carry, _ = block(carry, t_pairs[n_blocks * eval_every:])
+    return carry[0]
+
+
 def cfg_model_fn(model_fn_doubled: ModelFn, cfg_scale: float,
                  num_channels: Optional[int] = None) -> ModelFn:
     """Wrap a doubled-batch model into a single-batch CFG drift.

@@ -55,6 +55,11 @@ class SamplingConfig:
     # sharding instead of processes); effective batch becomes
     # per_device_batch * local_device_count
     data_parallel: bool = False
+    # training-free NFE reduction (flow/samplers.euler_sample_extrapolated):
+    # run the model only on every N-th ladder step, linear-in-t velocity
+    # extrapolation in between. 1 (default) = exact dense Euler (the parity
+    # path); 2 halves the model cost. Opt-in speed mode, like int8.
+    velocity_eval_every: int = 1
 
 
 def apply_rope_interpolation(model, cfg: SamplingConfig):
@@ -144,8 +149,22 @@ def build_sampler(model, params, cfg: SamplingConfig,
             z_next = z + (t_next - t_cur) * v
             return z_next, (z_next if return_trajectory else None)
 
-        pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
-        z, traj = jax.lax.scan(step, z, pairs)
+        if cfg.velocity_eval_every > 1 and not return_trajectory:
+            from fitv2_tpu.flow.samplers import euler_sample_extrapolated
+
+            def drift(zc, t_vec):
+                z_in = jnp.concatenate([zc, zc], axis=0).astype(cfg.dtype)
+                t2 = jnp.concatenate([t_vec, t_vec]).astype(jnp.float32)
+                out = model.apply(variables, z_in, t2, y, grid, mask, size)
+                c, u = jnp.split(out.astype(jnp.float32), 2, axis=0)
+                return u + cfg.cfg_scale * (c - u)
+
+            z = euler_sample_extrapolated(
+                drift, z, sigmas, eval_every=cfg.velocity_eval_every)
+            traj = None
+        else:
+            pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
+            z, traj = jax.lax.scan(step, z, pairs)
 
         z = z[:, :n_h * n_w]
         latents = model.unpatchify(z, (lat_h, lat_w), channel_last=True)

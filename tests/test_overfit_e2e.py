@@ -149,3 +149,26 @@ def test_overfit_one_sample_recovers_target():
     # same target, and stays close to the fp32 trajectory endpoint
     assert err_q < 0.2, err_q
     assert drift < 0.1, drift
+
+    # ---- velocity-extrapolated rollout on the SAME trained params --------
+    # (flow/samplers.euler_sample_extrapolated, eval_every=2: half the model
+    # calls). A TRAINED velocity field, not the random-weights bench model —
+    # the honest fidelity evidence for the training-free NFE reduction.
+    from fitv2_tpu.flow.samplers import euler_sample_extrapolated
+    n_ctx = batch['feature'].shape[1]
+    y1, g1, s1 = batch['label'][:1], batch['grid'][:1], batch['size'][:1]
+
+    def model_fn(z, t):
+        return model.apply({'params': params}, z, t, y1, g1, None,
+                           s1).astype(jnp.float32)
+
+    z0 = jax.random.normal(jax.random.PRNGKey(7), (1, n_ctx, 16))
+    sigmas = jnp.linspace(0.0, 1.0, 51)
+    out_x = np.asarray(jax.jit(lambda z: euler_sample_extrapolated(
+        model_fn, z, sigmas, eval_every=2))(z0))
+    err_x = _rel_l2(out_x, target)
+    drift_x = _rel_l2(out_x, out)
+    print(f'extrapolated (25-eval) rollout: relL2 vs target {err_x:.4f}, '
+          f'vs dense endpoint {drift_x:.4f}')
+    assert err_x < 0.2, err_x
+    assert drift_x < 0.1, drift_x

@@ -131,3 +131,42 @@ def test_sampler_data_parallel_8dev():
                                                 labels)
     np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_1),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_sampler_velocity_extrapolation_close_to_dense():
+    """velocity_eval_every=2 (training-free NFE halving,
+    flow/samplers.euler_sample_extrapolated) stays close to the dense-Euler
+    latents on the same ladder, and closer than Euler on half the ladder
+    (the same model-call budget)."""
+    model = _model()
+    grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 16)), jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32), grid, mask, size)['params']
+    # randomize: adaLN-zero init makes fresh models output zero velocity
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        0.05 * jax.random.normal(k, l.shape, jnp.float32)
+        for k, l in zip(keys, leaves)])
+
+    def run(steps, every):
+        cfg = SamplingConfig(image_height=128, image_width=128,
+                             num_sampling_steps=steps, per_device_batch=2,
+                             num_classes=10, dtype=jnp.float32,
+                             velocity_eval_every=every)
+        fn = build_sampler(model, params, cfg)
+        return np.asarray(fn(jax.random.PRNGKey(5), jnp.arange(2)))
+
+    dense = run(16, 1)
+    extr = run(16, 2)   # 8 model calls
+    half = run(8, 1)    # 8 model calls
+
+    def rel(a, b):
+        return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9))
+
+    e_extr, e_half = rel(extr, dense), rel(half, dense)
+    print(f'extrapolated-vs-dense relL2 {e_extr:.3e}, half-euler {e_half:.3e}')
+    assert np.isfinite(extr).all()
+    assert e_extr < e_half, (e_extr, e_half)
+    assert e_extr < 0.05, e_extr
