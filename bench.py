@@ -141,8 +141,39 @@ def main():
         result['int8_serving_value'] = round(int8_img_per_sec, 4)
         result['int8_serving_vs_baseline'] = round(
             int8_img_per_sec / BASELINE_IMG_PER_SEC, 4)
+
+        # max serving mode: int8 GEMMs + velocity extrapolation
+        # (flow/samplers.euler_sample_extrapolated, eval_every=2 — the model
+        # runs on 125 of the 250 ladder steps, linear velocity extrapolation
+        # between). Training-free approximation: trained-model endpoint
+        # drift 8e-4 on the overfit anchor (tests/test_overfit_e2e.py),
+        # FID-at-scale unverified — labeled separately from the exact paths.
+        from fitv2_tpu.flow.samplers import euler_sample_extrapolated
+
+        @jax.jit
+        def sample_x(params, extra, z):
+            def drift(zc, t_vec):
+                z2 = jnp.concatenate([zc, zc], 0).astype(jnp.bfloat16)
+                t2 = jnp.concatenate([t_vec, t_vec]).astype(jnp.float32)
+                out = mq.apply({'params': params, **extra}, z2, t2, y,
+                               grid, mask, size)
+                c, u = jnp.split(out.astype(jnp.float32), 2, axis=0)
+                return u + CFG_SCALE * (c - u)
+            return euler_sample_extrapolated(drift, z, sigmas, eval_every=2)
+
+        z0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, n_ctx, 16),
+                               jnp.float32)
+        sample_x(params, extra, z0).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = sample_x(params, extra, z0)
+        out.block_until_ready()
+        mx = BATCH / ((time.perf_counter() - t0) / 3)
+        result['serving_max_int8_extrap2_value'] = round(mx, 4)
+        result['serving_max_int8_extrap2_vs_baseline'] = round(
+            mx / BASELINE_IMG_PER_SEC, 4)
     except Exception:
-        pass  # int8 mode is best-effort in the bench
+        pass  # serving modes are best-effort in the bench
 
     print(json.dumps(result))
 

@@ -34,13 +34,15 @@ CFG_SCALE = 1.5
 
 
 def main():
-    evs = [int(a) for a in sys.argv[1:]] or [2, 4]
+    args = [a for a in sys.argv[1:] if a != 'int8']
+    precision = 'int8' if 'int8' in sys.argv[1:] else 'bf16'
+    evs = [int(a) for a in args] or [2, 4]
     print('backend:', jax.devices(), flush=True)
 
     from bench_sweep import build_model, init_params
     from fitv2_tpu.flow.samplers import euler_sample_extrapolated
 
-    model = build_model('bf16')
+    model = build_model(precision)
     params = init_params()
     b2 = 2 * BATCH
     n_ctx = 256
@@ -54,27 +56,44 @@ def main():
                          jnp.full((BATCH,), 1000, jnp.int32)])
     sigmas = jnp.linspace(0.0, 1.0, STEPS + 1)
 
+    extra = {}
+    if precision == 'int8':
+        from fitv2_tpu.ops.quant import (calibrate_quant_scales,
+                                         prequantize_weights)
+        zz = jax.random.normal(jax.random.PRNGKey(9), (b2, n_ctx, 16),
+                               jnp.float32)
+        cal_batches = [
+            (zz * s, jnp.full((b2,), t, jnp.float32), y, grid, None, size)
+            for s, t in ((1.0, 0.1), (0.8, 0.5), (0.6, 0.9))]
+        extra = {
+            'quant_calib': calibrate_quant_scales(model, params,
+                                                  cal_batches),
+            'quant_weights': prequantize_weights(model, params,
+                                                 cal_batches[0]),
+        }
+        print('calibrated + prequantized', flush=True)
+
     outs = {}
     for ev in evs:
         @jax.jit
-        def sample(params, z, ev=ev):
+        def sample(params, extra, z, ev=ev):
             def drift(zc, t_vec):
                 z_in = jnp.concatenate([zc, zc], 0).astype(jnp.bfloat16)
                 t2 = jnp.concatenate([t_vec, t_vec]).astype(jnp.float32)
-                out = model.apply({'params': params}, z_in, t2, y, grid,
-                                  None, size)
+                out = model.apply({'params': params, **extra}, z_in, t2, y,
+                                  grid, None, size)
                 c, u = jnp.split(out.astype(jnp.float32), 2, axis=0)
                 return u + CFG_SCALE * (c - u)
             return euler_sample_extrapolated(drift, z, sigmas, eval_every=ev)
 
         z0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, n_ctx, 16),
                                jnp.float32)
-        print(f'compiling eval_every={ev}...', flush=True)
-        sample(params, z0).block_until_ready()
+        print(f'compiling {precision} eval_every={ev}...', flush=True)
+        sample(params, extra, z0).block_until_ready()
         t0 = time.perf_counter()
         n = 3
         for _ in range(n):
-            out = sample(params, z0)
+            out = sample(params, extra, z0)
         out.block_until_ready()
         dt = (time.perf_counter() - t0) / n
         outs[ev] = np.asarray(out)
