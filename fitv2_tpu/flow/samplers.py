@@ -91,8 +91,13 @@ def euler_sample_extrapolated(model_fn: ModelFn, x: Array, sigmas: Array,
         t_e = pairs[0, 0]
         t_vec = jnp.full((z.shape[0],), t_e, z.dtype)
         v_e = model_fn(z, t_vec)
+        dt_e = t_e - t_prev
+        # sign-preserving clamp: a descending ladder (sigmas 1 -> 0) has
+        # dt_e < 0; clamping the signed value would flip the slope sign
+        # and amplify (v_e - v_prev) by ~1e8
         slope = jnp.where(have_prev > 0,
-                          1.0 / jnp.maximum(t_e - t_prev, 1e-8), 0.0)
+                          jnp.sign(dt_e)
+                          / jnp.maximum(jnp.abs(dt_e), 1e-8), 0.0)
         dv = (v_e - v_prev) * slope
         # sub-step 0 uses v_e exactly; later sub-steps extrapolate
         def sub(zc, pair):

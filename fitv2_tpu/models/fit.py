@@ -31,6 +31,7 @@ from fitv2_tpu.models.modules import (
     AdaLNModulation, FiTBlock, FinalLayer, LabelEmbedder, PatchEmbedder,
     TimestepEmbedder,
 )
+from fitv2_tpu.parallel.mesh import constrain_sequence
 
 Array = jax.Array
 Dtype = Any
@@ -46,9 +47,7 @@ class _ScanBlock(nn.Module):
     def __call__(self, x, c, mask, freqs_cos, freqs_sin, global_adaln):
         x = FiTBlock(**dict(self.block_kwargs), name='block')(
             x, c, mask, freqs_cos, freqs_sin, global_adaln)
-        if self.sequence_mesh is not None:
-            from fitv2_tpu.parallel.mesh import constrain_sequence
-            x = constrain_sequence(x, self.sequence_mesh)
+        x = constrain_sequence(x, self.sequence_mesh)  # no-op when None
         return x, None
 
 
@@ -170,9 +169,7 @@ class FiT(nn.Module):
 
         x = x.astype(self.dtype)
         x = PatchEmbedder(self.hidden_size, dtype=self.dtype, name='x_embedder')(x)
-        if self.sequence_mesh is not None:
-            from fitv2_tpu.parallel.mesh import constrain_sequence
-            x = constrain_sequence(x, self.sequence_mesh)
+        x = constrain_sequence(x, self.sequence_mesh)  # no-op when None
         t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype,
                                  name='t_embedder')(t)
         y_emb = LabelEmbedder(self.num_classes, self.hidden_size,
@@ -231,9 +228,7 @@ class FiT(nn.Module):
             for i in range(self.depth):
                 x = block_cls(**block_kwargs, name=f'blocks_{i}')(
                     x, c, mask, freqs_cos, freqs_sin, global_adaln)
-                if self.sequence_mesh is not None:
-                    from fitv2_tpu.parallel.mesh import constrain_sequence
-                    x = constrain_sequence(x, self.sequence_mesh)
+                x = constrain_sequence(x, self.sequence_mesh)
 
         x = FinalLayer(self.hidden_size, self.patch_size, self.out_channels,
                        norm_layer=self.norm_type, adaln_bias=self.adaln_bias,

@@ -186,7 +186,9 @@ def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
             return attention_core(qh, kh, vh, mask).transpose(0, 2, 1, 3)
         except Exception:
             pass  # fall back to XLA (e.g. CPU without interpret mode)
-    if (bounded_logits and n >= 128 and n % 64 == 0
-            and impl == 'xla_chunked'):
+    if impl == 'xla_chunked' and bounded_logits:
+        # explicit opt-in: no shape gate — the slicing loop handles a short
+        # final chunk; only the bounded-softmax requirement is semantic
+        # (exp without max-subtraction needs |logit| <= sqrt(Dh))
         return _xla_chunked_attention(q, k, v, mask)
     return _xla_masked_attention(q, k, v, mask, bounded_logits)

@@ -66,14 +66,21 @@ def _forward(x: Array, shift: Array, scale: Array, eps: float,
 
 
 def _reference(x: Array, shift: Array, scale: Array, eps: float) -> Array:
-    # One-pass moments reading x directly (dtype=f32 fuses the convert into
-    # the reduce) — an explicit x.astype(f32) shared by reduce and
-    # normalize makes XLA materialize a full f32 copy (see the same fix in
-    # ops/fused_qk_rope._reference).
-    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-    mean2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
-                     keepdims=True, dtype=jnp.float32)
-    var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
+    # One-pass moments reading x directly (each reduce fuses its own
+    # convert/subtract; an explicit x.astype(f32) SHARED by reduce and
+    # normalize makes XLA materialize a full f32 copy — see the same fix in
+    # ops/fused_qk_rope._reference). Unlike qk_rope (near-zero-mean GEMM
+    # outputs), x here is the residual stream, where a large common offset
+    # across channels would make the raw E[x^2]-E[x]^2 form catastrophically
+    # cancel in fp32; shifting both moments by a per-row provisional mean
+    # (channel 0) keeps the one-pass economics with two-pass robustness:
+    # var = E[(x-s)^2] - E[x-s]^2 for any constant s.
+    s = jax.lax.slice_in_dim(x, 0, 1, axis=-1).astype(jnp.float32)
+    mean_c = jnp.mean(x.astype(jnp.float32) - s, axis=-1, keepdims=True)
+    mean2_c = jnp.mean(jax.lax.square(x.astype(jnp.float32) - s), axis=-1,
+                       keepdims=True)
+    var = jnp.maximum(mean2_c - jax.lax.square(mean_c), 0.0)
+    mean = mean_c + s
     xhat = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
     out = xhat * (1.0 + scale.astype(jnp.float32)[:, None, :]) \
         + shift.astype(jnp.float32)[:, None, :]

@@ -82,8 +82,10 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def sequence_sharding(mesh: Mesh) -> NamedSharding:
     """(batch, tokens, ...) activations sharded over batch AND token axes —
-    sequence parallelism for long-token (HR) workloads."""
-    return NamedSharding(mesh, P(('data', 'fsdp'), 'sequence'))
+    sequence parallelism for long-token (HR) workloads. Tolerates meshes
+    without a data/fsdp axis (e.g. a plain ('data','sequence') user mesh)."""
+    batch_axes = tuple(a for a in ('data', 'fsdp') if a in mesh.shape)
+    return NamedSharding(mesh, P(batch_axes or None, 'sequence'))
 
 
 def constrain_sequence(x, mesh: Optional[Mesh]):
@@ -98,8 +100,9 @@ def constrain_sequence(x, mesh: Optional[Mesh]):
     HR path; the reference has no SP at all, SURVEY.md §2.9)."""
     if mesh is None or mesh.shape.get('sequence', 1) == 1:
         return x
+    batch_extent = (mesh.shape.get('data', 1) * mesh.shape.get('fsdp', 1))
     if (x.ndim < 2
-            or x.shape[0] % (mesh.shape['data'] * mesh.shape['fsdp']) != 0
+            or x.shape[0] % batch_extent != 0
             or x.shape[1] % mesh.shape['sequence'] != 0):
         return x  # e.g. batch-1 init traces; constraint would be invalid
     return jax.lax.with_sharding_constraint(x, sequence_sharding(mesh))

@@ -100,6 +100,12 @@ def build_sampler(model, params, cfg: SamplingConfig,
     assert n_h * n_w <= n_ctx, (
         f'bucket {n_h}x{n_w} exceeds context {n_ctx}; build the model with a '
         f'larger context_size for this bucket')
+    if cfg.velocity_eval_every > 1 and return_trajectory:
+        raise ValueError(
+            'velocity_eval_every > 1 is not supported with '
+            'return_trajectory=True (the extrapolated sampler does not '
+            'materialize per-step states); use velocity_eval_every=1 for '
+            'trajectory dumps')
     n_dev = len(jax.local_devices()) if cfg.data_parallel else 1
     B = cfg.per_device_batch * n_dev
     token_dim = model.patch_size ** 2 * model.in_channels
@@ -149,7 +155,7 @@ def build_sampler(model, params, cfg: SamplingConfig,
             z_next = z + (t_next - t_cur) * v
             return z_next, (z_next if return_trajectory else None)
 
-        if cfg.velocity_eval_every > 1 and not return_trajectory:
+        if cfg.velocity_eval_every > 1:
             from fitv2_tpu.flow.samplers import euler_sample_extrapolated
 
             def drift(zc, t_vec):

@@ -93,9 +93,6 @@ _SLOW_TESTS['test_lwd.py'] += ['test_fourier_basis_output',
                                'test_sample_intermediates_and_representations']
 _SLOW_TESTS['test_sample_pipeline.py'].append('test_sampler_latents_only')
 _SLOW_TESTS['test_train.py'].append('test_finetune_freeze_by_pattern')
-_SLOW_TESTS['test_gan_ddpm_steps.py'].append('test_gan_steps')
-
-
 def pytest_collection_modifyitems(config, items):
     """Two test tiers: `pytest tests/` = fast tier (~10 min, gates work);
     `pytest tests/ --slow` = full tier (adds the heavy e2e/scale goldens,

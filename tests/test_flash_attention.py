@@ -157,3 +157,31 @@ def test_attention_core_matches_xla_bounded():
                                        rtol=1e-4, atol=1e-4)
     finally:
         ac._INTERPRET = old
+
+
+def test_chunked_arbitrary_length_and_explicit_dispatch():
+    """Explicit impl='xla_chunked' must be honored at ANY sequence length
+    (the slicing loop handles a short final chunk); the old shape gate
+    (n >= 128, n % 64 == 0) silently fell back to the monolithic chain."""
+    from fitv2_tpu.ops.attention import (_xla_chunked_attention,
+                                         _xla_masked_attention,
+                                         masked_attention)
+
+    def ln(x):
+        m = x.mean(-1, keepdims=True)
+        v = x.var(-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-6)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    b, n, h, dh = 2, 100, 4, 72  # n < 128 and not a multiple of 64
+    q = ln(jax.random.normal(k1, (b, n, h, dh)))
+    k = ln(jax.random.normal(k2, (b, n, h, dh)))
+    v = jax.random.normal(k3, (b, n, h, dh))
+    ref = _xla_masked_attention(q, k, v, None, bounded_logits=True)
+    out = _xla_chunked_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    via = masked_attention(q, k, v, None, impl='xla_chunked',
+                           bounded_logits=True)
+    np.testing.assert_allclose(np.asarray(via), np.asarray(out),
+                               rtol=0, atol=0)

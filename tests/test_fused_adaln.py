@@ -66,3 +66,23 @@ def test_dispatcher_cpu_fallback():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(_reference(x, shift, scale, 1e-6)),
                                rtol=1e-6)
+
+
+def test_reference_large_common_offset():
+    """A large COMMON offset across channels (|mean| >> std) is where the
+    raw one-pass E[x^2]-E[x]^2 variance cancels catastrophically in fp32
+    (rel. var error ~ (mean^2/var) * 2^-24 — ~13% at offset 3000). The
+    shifted one-pass (moments of x - x[..., :1]) must stay accurate;
+    float64 numpy is the oracle."""
+    from fitv2_tpu.ops.fused_adaln import _reference
+    x, shift, scale = _inputs()
+    x = x + 3000.0
+    out = np.asarray(_reference(x, shift, scale, 1e-6))
+    x64 = np.asarray(x, np.float64)
+    m = x64.mean(-1, keepdims=True)
+    v = x64.var(-1, keepdims=True)
+    sh = np.asarray(shift, np.float64)[:, None, :]
+    sc = np.asarray(scale, np.float64)[:, None, :]
+    ref = ((x64 - m) / np.sqrt(v + 1e-6)) * (1.0 + sc) + sh
+    err = np.max(np.abs(out - ref))
+    assert err < 5e-3, err

@@ -170,3 +170,20 @@ def test_sampler_velocity_extrapolation_close_to_dense():
     assert np.isfinite(extr).all()
     assert e_extr < e_half, (e_extr, e_half)
     assert e_extr < 0.05, e_extr
+
+
+def test_extrapolation_rejects_trajectory_mode():
+    """velocity_eval_every > 1 with return_trajectory=True must raise at
+    build time (the extrapolated sampler does not materialize per-step
+    states) instead of silently running the full-cost dense scan."""
+    model = _model()
+    grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 16)), jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32), grid, mask, size)['params']
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=8, per_device_batch=1,
+                         num_classes=10, dtype=jnp.float32,
+                         velocity_eval_every=2)
+    with pytest.raises(ValueError, match='velocity_eval_every'):
+        build_sampler(model, params, cfg, return_trajectory=True)

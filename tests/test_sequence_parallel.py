@@ -151,3 +151,31 @@ def test_sp_train_step_grads_match(sp_setup):
     for a, b in zip(leaves_sp, leaves_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_constrain_sequence_mesh_without_fsdp_axis():
+    """A user mesh carrying only ('data', 'sequence') axes must work: the
+    divisibility guard used mesh.shape['fsdp'] unconditionally (KeyError
+    inside jit tracing), and sequence_sharding referenced both batch axes.
+    Both now tolerate absent axes."""
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ('data', 'sequence'))
+    model = _model(seq_mesh=mesh)
+    x, t, y, grid, mask, size = _inputs()
+    # batch-1 init trace exercises the "constraint would be invalid" path
+    params = model.init(
+        {'params': jax.random.PRNGKey(1),
+         'label_dropout': jax.random.PRNGKey(2)},
+        x[:1], t[:1], y[:1], grid[:1], mask[:1], size[:1],
+        train=True)['params']
+    out = jax.jit(lambda p, xx: model.apply(
+        {'params': p}, xx, t, y, grid, mask, size))(params, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # unsharded twin matches (the constraint changes layout, not values)
+    ref = _model(seq_mesh=None).apply({'params': params}, x, t, y, grid,
+                                      mask, size)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -227,3 +227,23 @@ def test_euler_extrapolated_eval_every_one_is_euler():
     a = euler_sample(model, x0, sig)
     b = euler_sample_extrapolated(model, x0, sig, eval_every=1)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_euler_extrapolated_descending_ladder():
+    """Regression: on a monotonically DECREASING ladder (sigmas 1 -> 0),
+    the extrapolation slope 1/dt must keep dt's sign — a signed clamp
+    max(dt, 1e-8) turned negative dt into 1e-8 and amplified the velocity
+    difference by ~1e8 (garbage latents, no error)."""
+    from fitv2_tpu.flow.samplers import euler_sample, euler_sample_extrapolated
+
+    def model(x, t):
+        return -x * (0.5 + t.reshape(-1, 1))
+
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (2, 5))
+    sig = jnp.linspace(1.0, 0.0, 65)
+    dense = euler_sample(model, x0, sig)
+    extr = euler_sample_extrapolated(model, x0, sig, eval_every=2)
+    assert np.isfinite(np.asarray(extr)).all()
+    rel = (np.linalg.norm(np.asarray(extr) - np.asarray(dense))
+           / np.linalg.norm(np.asarray(dense)))
+    assert rel < 0.05, rel

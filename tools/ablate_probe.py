@@ -67,7 +67,6 @@ def main():
     calib = {'quant_calib': cal, 'quant_weights': qw}
 
     orig_attn = modules.masked_attention
-    orig_rope = modules.Attention.__call__  # not patched; we patch symbols
 
     import fitv2_tpu.ops.fused_qk_rope as fqr
     orig_qk = fqr.qk_norm_rope
@@ -159,6 +158,7 @@ def main():
 
     modules.masked_attention = orig_attn
     fqr.qk_norm_rope = orig_qk
+    _qmod.int8_matmul = _orig_matmul
     if 'full' in results and 'noattn' in results:
         print(f'attention core : '
               f'{(results["full"]-results["noattn"])*1e3:6.2f} ms/step',

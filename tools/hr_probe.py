@@ -231,9 +231,72 @@ def stage_sampler():
                   f'{B/dt:6.3f} img/s/chip', flush=True)
 
 
+def stage_extrap():
+    """HR sampler composed with velocity extrapolation (the serving-mode
+    NFE reducer measured at 256px in tools/extrap_probe.py) — same 250-step
+    ladder, model evals on every N-th rung."""
+    from fitv2_tpu.flow.samplers import euler_sample_extrapolated
+    b2 = 2 * B
+    grid, mask, size, _ = make_inputs(b2)
+    y = jnp.concatenate([(jnp.arange(B) % 1000).astype(jnp.int32),
+                         jnp.full((B,), 1000, jnp.int32)])
+    sigmas = jnp.linspace(0.0, 1.0, 251)
+    for precision in ('bf16', 'int8cal'):
+        model = build_hr(True,
+                         'int8' if precision == 'int8cal' else precision)
+        params = init_params(model, grid, mask, size, y)
+        extra = {}
+        if precision == 'int8cal':
+            from fitv2_tpu.ops.quant import (calibrate_quant_scales,
+                                             prequantize_weights)
+            zz = jax.random.normal(jax.random.PRNGKey(9), (b2, N_CTX, 16),
+                                   jnp.float32)
+            cal_batches = [
+                (zz * s, jnp.full((b2,), t, jnp.float32), y, grid, None,
+                 size) for s, t in ((1.0, 0.1), (0.8, 0.5), (0.6, 0.9))]
+            extra = {
+                'quant_calib': calibrate_quant_scales(model, params,
+                                                      cal_batches),
+                'quant_weights': prequantize_weights(model, params,
+                                                     cal_batches[0]),
+            }
+            print('calibrated + prequantized', flush=True)
+
+        outs = {}
+        for ev in (1, 2, 4):
+            @jax.jit
+            def sample(params, extra, z, ev=ev):
+                def drift(zc, t_vec):
+                    z_in = jnp.concatenate([zc, zc], 0).astype(jnp.bfloat16)
+                    t2 = jnp.concatenate([t_vec, t_vec]).astype(jnp.float32)
+                    out = model.apply({'params': params, **extra}, z_in, t2,
+                                      y, grid, None, size)
+                    c, u = jnp.split(out.astype(jnp.float32), 2, axis=0)
+                    return u + 1.65 * (c - u)
+                return euler_sample_extrapolated(drift, z, sigmas,
+                                                 eval_every=ev)
+
+            z0 = jax.random.normal(jax.random.PRNGKey(1), (B, N_CTX, 16),
+                                   jnp.float32)
+            print(f'compiling HR extrap {precision} ev={ev}...', flush=True)
+            sample(params, extra, z0).block_until_ready()
+            t0 = time.perf_counter()
+            out = sample(params, extra, z0)
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            outs[ev] = np.asarray(out)
+            print(f'HR extrap {precision} ev={ev}: {dt:7.2f} s -> '
+                  f'{B/dt:6.3f} img/s/chip ({250//ev} evals)', flush=True)
+        for ev in (2, 4):
+            rel = (np.linalg.norm(outs[ev] - outs[1])
+                   / np.linalg.norm(outs[1]))
+            print(f'HR latents relL2 ev={ev} vs dense: {rel:.4f}',
+                  flush=True)
+
+
 if __name__ == '__main__':
     print('backend:', jax.devices(), flush=True)
     for s in sys.argv[1:] or ['fwd', 'attn', 'sampler']:
         {'fwd': stage_fwd, 'attn': stage_attn,
-         'sampler': stage_sampler}[s]()
+         'sampler': stage_sampler, 'extrap': stage_extrap}[s]()
     print('DONE', flush=True)
