@@ -217,11 +217,44 @@ class SwiGLU(nn.Module):
     def __call__(self, x: Array) -> Array:
         out = self.out_features or x.shape[-1]
         D = _dense(self.quantized)
-        gv = D(2 * self.hidden_features, use_bias=self.use_bias,
-               dtype=self.dtype, name='fc1')(x)
+        fc1 = D(2 * self.hidden_features, use_bias=self.use_bias,
+                dtype=self.dtype, name='fc1')
+        fc2 = D(out, use_bias=self.use_bias, dtype=self.dtype, name='fc2')
+        if self.quantized:
+            from fitv2_tpu.ops import quant as _q
+            if _q.use_fused_kernels:
+                y = self._fused_int8(x, fc1, fc2, out)
+                if y is not None:
+                    return y
+        gv = fc1(x)
         g, v = jnp.split(gv, 2, axis=-1)
-        return D(out, use_bias=self.use_bias, dtype=self.dtype,
-                 name='fc2')(nn.silu(g) * v)
+        return fc2(nn.silu(g) * v)
+
+    def _fused_int8(self, x: Array, fc1, fc2, out: int) -> Optional[Array]:
+        """Serving-mode fused FFN: fc1 GEMM + silu(g)*v + requant and the
+        fc2 GEMM run as two Pallas kernels (ops/int8_gemm.py) — the
+        (M, 2H) fc1 output and (M, H) activation never materialize.
+        Returns None (caller falls back to the reference chain) outside
+        the calibrated+tile-aligned serving regime."""
+        from fitv2_tpu.ops import int8_gemm as ig
+        m = math.prod(x.shape[:-1])
+        k, h = x.shape[-1], self.hidden_features
+        if not (ig.supports_swiglu(m, k, 2 * h) and ig.supports(m, h, out)):
+            return None
+        p1 = fc1(x, return_quant_parts=True)
+        p2 = fc2(jnp.zeros(x.shape[:-1] + (h,), x.dtype),
+                 return_quant_parts=True)
+        if p1 is None or p2 is None:  # calibration pass / no calib bound
+            return None
+        xs = p1.act_scale.astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / xs)),
+                      -127, 127).astype(jnp.int8)
+        mid_q = ig.int8_gemm_swiglu_quant(
+            xq.reshape(m, k), p1.w_q, xs * p1.w_scale, p1.bias,
+            1.0 / p2.act_scale)
+        y = ig.int8_gemm_bias(mid_q, p2.w_q, p2.act_scale * p2.w_scale,
+                              p2.bias, out_dtype=self.dtype)
+        return y.reshape(x.shape[:-1] + (out,))
 
 
 class Mlp(nn.Module):

@@ -29,13 +29,36 @@ TPU-hardware-native capability, exposed like torch's quantized backends.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Array = jax.Array
+
+# Fused Pallas GEMM+epilogue kernels (ops/int8_gemm.py): dequant/bias (and
+# the SwiGLU mid-section) computed on the accumulator tile instead of as
+# separate full passes over the int32 GEMM output. OPT-IN until the on-chip
+# A/B (tools/fused_gemm_probe.py) proves a win at serving shapes; only the
+# calibrated-scale serving mode qualifies (dynamic per-row scales keep XLA).
+use_fused_kernels = False
+
+
+def set_fused_kernels(enabled: bool) -> None:
+    """Enable/disable the Pallas fused int8 GEMM serving kernels globally."""
+    global use_fused_kernels
+    use_fused_kernels = bool(enabled)
+
+
+class QuantParts(NamedTuple):
+    """Raw serving-mode pieces of an Int8Dense site (for cross-module
+    fusions like the SwiGLU FFN kernel)."""
+    w_q: Array          # (K, N) int8
+    w_scale: Array      # (N,) f32 per-output-channel
+    bias: Optional[Array]
+    act_scale: Array    # () f32 calibrated activation scale
 
 
 def quantize_symmetric(x: Array, axis: int,
@@ -72,6 +95,16 @@ def int8_matmul(x: Array, w_q: Array, w_scale: Array,
         x_scale = act_scale.astype(jnp.float32)
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / x_scale)),
                       -127, 127).astype(jnp.int8)
+        if use_fused_kernels:
+            from fitv2_tpu.ops import int8_gemm as ig
+            m = math.prod(x.shape[:-1])
+            k, n = w_q.shape
+            if ig.supports(m, k, n):
+                combined = (x_scale * w_scale.reshape(-1)).astype(
+                    jnp.float32)
+                out = ig.int8_gemm_bias(xq.reshape(m, k), w_q, combined,
+                                        bias, out_dtype=out_dtype)
+                return out.reshape(x.shape[:-1] + (n,))
     y = jax.lax.dot_general(
         xq, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -113,7 +146,9 @@ class Int8Dense(nn.Module):
     bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array,
+                 return_quant_parts: bool = False
+                 ) -> Array | Optional[QuantParts]:
         k = x.shape[-1]
         kernel = self.param('kernel', self.kernel_init, (k, self.features),
                             jnp.float32)
@@ -140,6 +175,19 @@ class Int8Dense(nn.Module):
 
         calibrating = self.is_mutable_collection('quant_calib')
         has_scale = self.has_variable('quant_calib', 'act_absmax')
+        if return_quant_parts:
+            # Cross-module fusion hook (e.g. the SwiGLU FFN kernel): expose
+            # the site's serving pieces WITHOUT computing the GEMM. `x` only
+            # fixes the kernel shape; its values are untouched. Only the
+            # calibrated serving mode qualifies — during calibration the
+            # caller must run the normal chain so act_absmax keeps
+            # recording, so return None to force the fallback.
+            if calibrating or not has_scale:
+                return None
+            amax_var = self.variable('quant_calib', 'act_absmax',
+                                     lambda: jnp.zeros((), jnp.float32))
+            act_scale = jnp.maximum(amax_var.value, 1e-12) / 127.0
+            return QuantParts(w_q, w_scale.reshape(-1), bias, act_scale)
         if calibrating or has_scale:
             amax_var = self.variable('quant_calib', 'act_absmax',
                                      lambda: jnp.zeros((), jnp.float32))
