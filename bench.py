@@ -57,6 +57,20 @@ def build_model(precision='bf16'):
         dtype=jnp.bfloat16, gemm_precision=precision)
 
 
+def init_params(model):
+    """bf16 random params for the bench model (shared across precisions)."""
+    n_ctx = model.context_size
+    rng = jax.random.PRNGKey(0)
+    grid1 = jnp.zeros((1, 2, n_ctx), jnp.int32)
+    size1 = jnp.asarray([[[16, 16]]], jnp.int32)
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((1, n_ctx, 16), jnp.float32), jnp.zeros((1,)),
+        jnp.zeros((1,), jnp.int32), grid1, None, size1)['params']
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params)
+
+
 def main():
     model = build_model()
     n_h = n_w = 16  # 256px / 8 (VAE) / 2 (patch)
@@ -75,13 +89,7 @@ def main():
         (jnp.arange(BATCH) % 1000).astype(jnp.int32),
         jnp.full((BATCH,), 1000, jnp.int32)])
 
-    rng = jax.random.PRNGKey(0)
-    params = jax.jit(model.init)(
-        rng, jnp.zeros((1, n_ctx, 16), jnp.float32), jnp.zeros((1,)),
-        y[:1], grid[:1], None, size[:1])['params']
-    params = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
-        params)
+    params = init_params(model)
 
     sigmas = jnp.linspace(0.0, 1.0, STEPS + 1)
 

@@ -50,6 +50,13 @@ def parse_args(argv=None):
                         'extrapolation in between '
                         '(flow/samplers.euler_sample_extrapolated); '
                         '1 = exact dense Euler (parity path)')
+    p.add_argument('--guidance-low', type=float, default=0.0,
+                   help='CFG interval lower bound: steps with t_cur outside '
+                        '[guidance-low, guidance-high] run a single '
+                        'conditional forward (half cost; reference LwD '
+                        'window semantics, fit_model_lwd_bk.py:1332)')
+    p.add_argument('--guidance-high', type=float, default=1.0,
+                   help='CFG interval upper bound (see --guidance-low)')
     return p.parse_args(argv)
 
 
@@ -91,7 +98,8 @@ def main(argv=None):
         interpolation=args.interpolation, decouple=args.decouple,
         ori_max_pe_len=args.ori_max_pe_len,
         data_parallel=args.data_parallel,
-        velocity_eval_every=args.velocity_eval_every)
+        velocity_eval_every=args.velocity_eval_every,
+        guidance_low=args.guidance_low, guidance_high=args.guidance_high)
     fn = build_sampler(model, params, scfg, vae, vae_params)
     images = generate_fid_samples(
         fn, args.num_fid_samples,

@@ -60,6 +60,15 @@ class SamplingConfig:
     # extrapolation in between. 1 (default) = exact dense Euler (the parity
     # path); 2 halves the model cost. Opt-in speed mode, like int8.
     velocity_eval_every: int = 1
+    # guidance interval: apply CFG (double-batch) only on steps whose t_cur
+    # lies in [guidance_low, guidance_high]; outside the window the model
+    # runs a SINGLE conditional batch (half cost per step). Semantics match
+    # the reference's LwD maruyama samplers
+    # (/root/reference/fit/model/fit_model_lwd_bk.py:1332,1396:
+    # `cfg > 1 and guidance_low <= t_cur <= guidance_high`), lifted to the
+    # main FM Euler path. (0.0, 1.0) = full-interval CFG (the parity path).
+    guidance_low: float = 0.0
+    guidance_high: float = 1.0
 
 
 def apply_rope_interpolation(model, cfg: SamplingConfig):
@@ -106,6 +115,11 @@ def build_sampler(model, params, cfg: SamplingConfig,
             'return_trajectory=True (the extrapolated sampler does not '
             'materialize per-step states); use velocity_eval_every=1 for '
             'trajectory dumps')
+    use_interval = (cfg.guidance_low, cfg.guidance_high) != (0.0, 1.0)
+    if use_interval and (return_trajectory or cfg.velocity_eval_every > 1):
+        raise ValueError(
+            'guidance_low/high compose with neither return_trajectory nor '
+            'velocity_eval_every > 1; use the full-interval path for those')
     n_dev = len(jax.local_devices()) if cfg.data_parallel else 1
     B = cfg.per_device_batch * n_dev
     token_dim = model.patch_size ** 2 * model.in_channels
@@ -119,6 +133,18 @@ def build_sampler(model, params, cfg: SamplingConfig,
         mask = None
     y_null = jnp.full((B,), cfg.num_classes, jnp.int32)
     sigmas = jnp.linspace(0.0, 1.0, cfg.num_sampling_steps + 1)
+    if use_interval:
+        grid_c, mask_c, size_c = make_grid_mask_size(B, n_h, n_w, n_ctx)
+        if n_h * n_w == n_ctx:
+            mask_c = None
+        sig_np = np.linspace(0.0, 1.0, cfg.num_sampling_steps + 1)
+        pairs_np = np.stack([sig_np[:-1], sig_np[1:]], axis=-1)
+        in_win = ((pairs_np[:, 0] >= cfg.guidance_low)
+                  & (pairs_np[:, 0] <= cfg.guidance_high))
+        idx = np.flatnonzero(in_win)
+        i0 = int(idx[0]) if idx.size else 0
+        i1 = int(idx[-1]) + 1 if idx.size else 0
+        _pre, _win, _post = (pairs_np[:i0], pairs_np[i0:i1], pairs_np[i1:])
 
     # int8 serving mode: one-time weight prequantization + static activation
     # scales calibrated on noise-level trajectory states (ops/quant.py).
@@ -167,6 +193,27 @@ def build_sampler(model, params, cfg: SamplingConfig,
 
             z = euler_sample_extrapolated(
                 drift, z, sigmas, eval_every=cfg.velocity_eval_every)
+            traj = None
+        elif use_interval:
+            # Steps whose t_cur falls outside [guidance_low, guidance_high]
+            # run a SINGLE conditional forward (reference
+            # fit_model_lwd_bk.py:1332). The ladder is static, so the
+            # window partition is host-side: three scans, the outer two at
+            # batch B, the window at 2B — each phase its own compiled body.
+            def cond_step(z, pair):
+                t_cur, t_next = pair[0], pair[1]
+                t1 = jnp.full((B,), t_cur, jnp.float32)
+                out = model.apply(variables, z.astype(cfg.dtype), t1,
+                                  labels.astype(jnp.int32), grid_c, mask_c,
+                                  size_c)
+                return z + (t_next - t_cur) * out.astype(jnp.float32), None
+
+            for seg, fn in ((_pre, cond_step), (_win, step),
+                            (_post, cond_step)):
+                if seg.shape[0]:
+                    z, _ = jax.lax.scan(
+                        lambda zc, p, f=fn: (f(zc, p)[0], None), z,
+                        jnp.asarray(seg))
             traj = None
         else:
             pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)

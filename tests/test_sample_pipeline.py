@@ -172,6 +172,91 @@ def test_sampler_velocity_extrapolation_close_to_dense():
     assert e_extr < 0.05, e_extr
 
 
+def _randomized_params(model):
+    grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 16)), jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32), grid, mask, size)['params']
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    return jax.tree_util.tree_unflatten(treedef, [
+        0.05 * jax.random.normal(k, l.shape, jnp.float32)
+        for k, l in zip(keys, leaves)])
+
+
+def test_guidance_interval_matches_reference_semantics():
+    """guidance_low/high: steps outside the window run a single conditional
+    forward (reference fit_model_lwd_bk.py:1332 window semantics). Checked
+    against a hand-rolled python loop over the same ladder."""
+    model = _model()
+    params = _randomized_params(model)
+    B, steps, low, high, scale = 2, 8, 0.3, 0.8, 1.5
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=steps, per_device_batch=B,
+                         num_classes=10, dtype=jnp.float32, cfg_scale=scale,
+                         guidance_low=low, guidance_high=high)
+    fn = build_sampler(model, params, cfg)
+    labels = jnp.arange(B)
+    rng = jax.random.PRNGKey(5)
+    got = np.asarray(fn(rng, labels))
+
+    # manual reference loop (mirrors the pipeline's shapes/casts)
+    n_ctx = 64
+    grid1, _, size1 = make_grid_mask_size(B, 8, 8, n_ctx)
+    grid2, _, size2 = make_grid_mask_size(2 * B, 8, 8, n_ctx)
+    y2 = jnp.concatenate([labels.astype(jnp.int32),
+                          jnp.full((B,), 10, jnp.int32)])
+    z = jax.random.normal(rng, (B, n_ctx, 16), jnp.float32)
+    sig = np.linspace(0.0, 1.0, steps + 1)
+    for i in range(steps):
+        t_cur, t_next = sig[i], sig[i + 1]
+        if low <= t_cur <= high:
+            out = model.apply({'params': params},
+                              jnp.concatenate([z, z]),
+                              jnp.full((2 * B,), t_cur, jnp.float32),
+                              y2, grid2, None, size2)
+            c, u = jnp.split(out.astype(jnp.float32), 2, axis=0)
+            v = u + scale * (c - u)
+        else:
+            v = model.apply({'params': params}, z,
+                            jnp.full((B,), t_cur, jnp.float32),
+                            labels.astype(jnp.int32), grid1, None,
+                            size1).astype(jnp.float32)
+        z = z + (t_next - t_cur) * v
+    lat = model.unpatchify(z, (16, 16), channel_last=True)[..., :4]
+    want = np.asarray(jnp.transpose(lat, (0, 3, 1, 2)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+    # full-window interval == the dense CFG path (pre/post phases empty)
+    cfg_full = SamplingConfig(image_height=128, image_width=128,
+                              num_sampling_steps=steps, per_device_batch=B,
+                              num_classes=10, dtype=jnp.float32,
+                              cfg_scale=scale,
+                              guidance_low=0.0, guidance_high=0.999)
+    cfg_dense = SamplingConfig(image_height=128, image_width=128,
+                               num_sampling_steps=steps, per_device_batch=B,
+                               num_classes=10, dtype=jnp.float32,
+                               cfg_scale=scale)
+    out_full = np.asarray(build_sampler(model, params, cfg_full)(rng, labels))
+    out_dense = np.asarray(
+        build_sampler(model, params, cfg_dense)(rng, labels))
+    np.testing.assert_allclose(out_full, out_dense, atol=1e-6, rtol=1e-6)
+
+
+def test_guidance_interval_rejects_compositions():
+    model = _model()
+    params = _randomized_params(model)
+    base = dict(image_height=128, image_width=128, num_sampling_steps=8,
+                per_device_batch=1, num_classes=10, dtype=jnp.float32,
+                guidance_low=0.2, guidance_high=0.8)
+    with pytest.raises(ValueError, match='guidance'):
+        build_sampler(model, params,
+                      SamplingConfig(velocity_eval_every=2, **base))
+    with pytest.raises(ValueError, match='guidance'):
+        build_sampler(model, params, SamplingConfig(**base),
+                      return_trajectory=True)
+
+
 def test_extrapolation_rejects_trajectory_mode():
     """velocity_eval_every > 1 with return_trajectory=True must raise at
     build time (the extrapolated sampler does not materialize per-step
