@@ -40,8 +40,13 @@ Array = jax.Array
 
 # Fused Pallas GEMM+epilogue kernels (ops/int8_gemm.py): dequant/bias (and
 # the SwiGLU mid-section) computed on the accumulator tile instead of as
-# separate full passes over the int32 GEMM output. OPT-IN until the on-chip
-# A/B (tools/fused_gemm_probe.py) proves a win at serving shapes; only the
+# separate full passes over the int32 GEMM output. Measured on-chip
+# (tools/fused_gemm_probe.py, v5e, XL bench workload): the fused path LOSES
+# — 6725 vs 5458 ms per 250-step scan (1.19 vs 1.47 img/s). The epilogue
+# savings (~5 ms/step of elementwise) are outweighed by Mosaic's int8 dot
+# running well below XLA's batched int8 GEMM rate at these shapes — the
+# same Mosaic-vs-XLA-GEMM economics that sank the round-2/3 attention
+# kernels. Kept OPT-IN for contexts where the tradeoff differs; only the
 # calibrated-scale serving mode qualifies (dynamic per-row scales keep XLA).
 use_fused_kernels = False
 

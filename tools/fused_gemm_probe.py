@@ -50,6 +50,19 @@ def main():
     params = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         params)
+    # The DiT-style zero-init (FinalLayer linear + adaLN gates) makes a
+    # fresh model output exactly 0, which would turn the fused-vs-XLA
+    # numerics check below into 0-vs-0 (vacuous; first run of this probe
+    # printed cos=0.0 for exactly this reason). Fill every all-zero leaf
+    # with small noise so the comparison exercises real values.
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [
+        jnp.where(jnp.all(p == 0),
+                  0.02 * jax.random.normal(k, p.shape, p.dtype), p)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p
+        for p, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
 
     zc = jax.random.normal(jax.random.PRNGKey(9), (b2, n_ctx, 16),
                            jnp.float32)

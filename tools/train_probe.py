@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 16
+BATCH = int(_os.environ.get('TRAIN_PROBE_BATCH', '16'))
 
 
 def run(remat_policy: str, mu_dtype):
