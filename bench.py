@@ -58,17 +58,29 @@ def build_model(precision='bf16'):
 
 
 def init_params(model):
-    """bf16 random params for the bench model (shared across precisions)."""
+    """bf16 random params for the bench model (shared across precisions).
+
+    Init runs on host CPU: flax init materializes f32 params, and for the
+    3B model the f32 originals (11.9 GB) plus the bf16 casts would exceed
+    the chip's 15.75 GB HBM if initialized on-device. Only the bf16 copy
+    is transferred.
+    """
     n_ctx = model.context_size
-    rng = jax.random.PRNGKey(0)
-    grid1 = jnp.zeros((1, 2, n_ctx), jnp.int32)
-    size1 = jnp.asarray([[[16, 16]]], jnp.int32)
-    params = jax.jit(model.init)(
-        rng, jnp.zeros((1, n_ctx, 16), jnp.float32), jnp.zeros((1,)),
-        jnp.zeros((1,), jnp.int32), grid1, None, size1)['params']
-    return jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
-        params)
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        rng = jax.random.PRNGKey(0)
+        grid1 = jnp.zeros((1, 2, n_ctx), jnp.int32)
+        size1 = jnp.asarray([[[16, 16]]], jnp.int32)
+        params = jax.jit(model.init)(
+            rng, jnp.zeros((1, n_ctx, 16), jnp.float32), jnp.zeros((1,)),
+            jnp.zeros((1,), jnp.int32), grid1, None, size1)['params']
+        params = jax.tree_util.tree_map(
+            lambda p: (p.astype(jnp.bfloat16) if p.dtype == jnp.float32
+                       else p), params)
+    dev = jax.devices()[0]
+    if dev != cpu:
+        params = jax.device_put(params, dev)
+    return params
 
 
 def main():
@@ -180,6 +192,29 @@ def main():
         result['serving_max_int8_extrap2_value'] = round(mx, 4)
         result['serving_max_int8_extrap2_vs_baseline'] = round(
             mx / BASELINE_IMG_PER_SEC, 4)
+
+        # int8 + guidance interval [0.3, 0.9] (EXACT ladder — no velocity
+        # approximation): CFG double-batch only inside the window, single
+        # conditional forward outside (the reference's own LwD window
+        # semantics, fit_model_lwd_bk.py:1332, lifted to the FM Euler
+        # path). The first exact-ladder config past the baseline estimate.
+        from fitv2_tpu.sample import SamplingConfig, build_sampler
+        scfg = SamplingConfig(
+            image_height=256, image_width=256, num_sampling_steps=STEPS,
+            cfg_scale=CFG_SCALE, per_device_batch=BATCH,
+            dtype=jnp.bfloat16, guidance_low=0.3, guidance_high=0.9)
+        ifn = build_sampler(mq, params, scfg)
+        labels = (jnp.arange(BATCH) % 1000).astype(jnp.int32)
+        rngl = jax.random.PRNGKey(1)
+        ifn(rngl, labels).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = ifn(rngl, labels)
+        out.block_until_ready()
+        iv = BATCH / ((time.perf_counter() - t0) / 3)
+        result['int8_interval_guidance_value'] = round(iv, 4)
+        result['int8_interval_guidance_vs_baseline'] = round(
+            iv / BASELINE_IMG_PER_SEC, 4)
     except Exception:
         pass  # serving modes are best-effort in the bench
 

@@ -41,12 +41,17 @@ def _pad_head_dim(x: Array) -> Array:
     return x
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
-                  scale: float):
+def _flash_kernel(*refs, block_k: int, scale: float, masked: bool):
     """One (head, q-block): online softmax over key blocks.
 
-    q_ref: (BQ, D); k_ref/v_ref: (N, D); mask_ref: (1, N); o_ref: (BQ, D).
+    q_ref: (BQ, D); k_ref/v_ref: (N, D); mask_ref: (1, N) (present only
+    when ``masked``); o_ref: (BQ, D).
     """
+    if masked:
+        q_ref, k_ref, v_ref, mask_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        mask_ref = None
     bq, d = q_ref.shape
     n = k_ref.shape[0]
     q = q_ref[:] * scale
@@ -59,11 +64,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
         m_prev, l_prev, acc = carry
         k_blk = k_ref[pl.ds(i * block_k, block_k), :]
         v_blk = v_ref[pl.ds(i * block_k, block_k), :]
-        mask_blk = mask_ref[0, pl.ds(i * block_k, block_k)]  # (BK,)
         logits = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (BQ, BK)
-        logits = jnp.where(mask_blk[None, :] > 0, logits, _NEG_INF)
+        if masked:
+            mask_blk = mask_ref[0, pl.ds(i * block_k, block_k)]  # (BK,)
+            logits = jnp.where(mask_blk[None, :] > 0, logits, _NEG_INF)
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(logits - m_new)
@@ -78,9 +84,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
     o_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
 
-def _flash_forward(q: Array, k: Array, v: Array, mask: Array,
+def _flash_forward(q: Array, k: Array, v: Array, mask: Optional[Array],
                    block_q: int = 256, block_k: int = 256) -> Array:
-    """q,k,v: (B, N, H, Dh); mask: (B, N) -> out (B, N, H, Dh)."""
+    """q,k,v: (B, N, H, Dh); mask: (B, N) or None (= all keys valid; the
+    mask load and the `where` leave the kernel) -> out (B, N, H, Dh)."""
     b, n, h, dh = q.shape
     scale = dh ** -0.5
     block_q = min(block_q, n)
@@ -94,29 +101,35 @@ def _flash_forward(q: Array, k: Array, v: Array, mask: Array,
 
     qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
     d = qb.shape[-1]
-    # (B*H, 1, N): keep a 2D trailing block (TPU blocks need the last two
-    # dims (8,128)-divisible or equal to the array dims)
-    mask_b = jnp.repeat(mask.astype(jnp.float32), h, axis=0)[:, None, :]
+    masked = mask is not None
 
     grid = (b * h, n // block_q)
+    in_specs = [
+        pl.BlockSpec((None, block_q, d), lambda ib, iq: (ib, iq, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, n, d), lambda ib, iq: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, n, d), lambda ib, iq: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qb, kb, vb]
+    if masked:
+        # (B*H, 1, N): keep a 2D trailing block (TPU blocks need the last
+        # two dims (8,128)-divisible or equal to the array dims)
+        operands.append(
+            jnp.repeat(mask.astype(jnp.float32), h, axis=0)[:, None, :])
+        in_specs.append(pl.BlockSpec((None, 1, n), lambda ib, iq: (ib, 0, 0),
+                                     memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale,
+                          masked=masked),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda ib, iq: (ib, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n, d), lambda ib, iq: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n, d), lambda ib, iq: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, n), lambda ib, iq: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((None, block_q, d),
                                lambda ib, iq: (ib, iq, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-    )(qb, kb, vb, mask_b)
+    )(*operands)
 
     out = out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
     return out[..., :dh]

@@ -116,10 +116,10 @@ def build_sampler(model, params, cfg: SamplingConfig,
             'materialize per-step states); use velocity_eval_every=1 for '
             'trajectory dumps')
     use_interval = (cfg.guidance_low, cfg.guidance_high) != (0.0, 1.0)
-    if use_interval and (return_trajectory or cfg.velocity_eval_every > 1):
+    if use_interval and return_trajectory:
         raise ValueError(
-            'guidance_low/high compose with neither return_trajectory nor '
-            'velocity_eval_every > 1; use the full-interval path for those')
+            'guidance_low/high does not compose with return_trajectory; '
+            'use the full-interval path for trajectory dumps')
     n_dev = len(jax.local_devices()) if cfg.data_parallel else 1
     B = cfg.per_device_batch * n_dev
     token_dim = model.patch_size ** 2 * model.in_channels
@@ -191,8 +191,30 @@ def build_sampler(model, params, cfg: SamplingConfig,
                 c, u = jnp.split(out.astype(jnp.float32), 2, axis=0)
                 return u + cfg.cfg_scale * (c - u)
 
-            z = euler_sample_extrapolated(
-                drift, z, sigmas, eval_every=cfg.velocity_eval_every)
+            if use_interval:
+                # composed mode: each guidance phase runs the extrapolated
+                # sampler on its sub-ladder. Extrapolation state restarts at
+                # phase boundaries (the drift semantics change there: the
+                # cond-only velocity is not continuous with the CFG-mixed
+                # one, so a cross-phase slope would extrapolate the wrong
+                # field) at the cost of one model call per boundary.
+                def drift_cond(zc, t_vec):
+                    out = model.apply(variables, zc.astype(cfg.dtype),
+                                      t_vec.astype(jnp.float32),
+                                      labels.astype(jnp.int32), grid_c,
+                                      mask_c, size_c)
+                    return out.astype(jnp.float32)
+
+                n_steps = cfg.num_sampling_steps
+                for a, b, dr in ((0, i0, drift_cond), (i0, i1, drift),
+                                 (i1, n_steps, drift_cond)):
+                    if b > a:
+                        z = euler_sample_extrapolated(
+                            dr, z, sigmas[a:b + 1],
+                            eval_every=cfg.velocity_eval_every)
+            else:
+                z = euler_sample_extrapolated(
+                    drift, z, sigmas, eval_every=cfg.velocity_eval_every)
             traj = None
         elif use_interval:
             # Steps whose t_cur falls outside [guidance_low, guidance_high]

@@ -33,6 +33,19 @@ def test_flash_matches_xla_full_mask():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_flash_maskless_matches_masked_ones():
+    """mask=None (full grid, statically-absent mask — the sampler's hot
+    configuration) must equal the all-ones-mask kernel and the XLA chain."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3))
+    out_none = _flash_interpret(q, k, v, None)
+    out_ones = _flash_interpret(q, k, v, jnp.ones((2, 256)))
+    ref = _xla_masked_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out_none), np.asarray(out_ones),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_none), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_flash_matches_xla_padded():
     q, k, v = _rand_qkv(jax.random.PRNGKey(1))
     mask = jnp.concatenate([jnp.ones((2, 200)), jnp.zeros((2, 56))], axis=1)

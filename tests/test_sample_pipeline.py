@@ -243,18 +243,40 @@ def test_guidance_interval_matches_reference_semantics():
     np.testing.assert_allclose(out_full, out_dense, atol=1e-6, rtol=1e-6)
 
 
-def test_guidance_interval_rejects_compositions():
+def test_guidance_interval_rejects_trajectory():
     model = _model()
     params = _randomized_params(model)
     base = dict(image_height=128, image_width=128, num_sampling_steps=8,
                 per_device_batch=1, num_classes=10, dtype=jnp.float32,
                 guidance_low=0.2, guidance_high=0.8)
     with pytest.raises(ValueError, match='guidance'):
-        build_sampler(model, params,
-                      SamplingConfig(velocity_eval_every=2, **base))
-    with pytest.raises(ValueError, match='guidance'):
         build_sampler(model, params, SamplingConfig(**base),
                       return_trajectory=True)
+
+
+def test_guidance_interval_composes_with_extrapolation():
+    """Interval guidance + velocity extrapolation: each phase runs the
+    extrapolated sampler on its sub-ladder (extrapolation restarts at phase
+    boundaries). The composed result must stay close to the exact interval
+    path — the same bound the plain extrapolation test uses."""
+    model = _model()
+    params = _randomized_params(model)
+
+    def run(every):
+        cfg = SamplingConfig(image_height=128, image_width=128,
+                             num_sampling_steps=16, per_device_batch=2,
+                             num_classes=10, dtype=jnp.float32,
+                             guidance_low=0.25, guidance_high=0.75,
+                             velocity_eval_every=every)
+        fn = build_sampler(model, params, cfg)
+        return np.asarray(fn(jax.random.PRNGKey(5), jnp.arange(2)))
+
+    exact = run(1)
+    composed = run(2)
+    rel = float(np.linalg.norm(composed - exact)
+                / max(np.linalg.norm(exact), 1e-9))
+    assert np.isfinite(composed).all()
+    assert rel < 0.05, rel
 
 
 def test_extrapolation_rejects_trajectory_mode():
