@@ -57,7 +57,31 @@ def parse_args(argv=None):
                         'window semantics, fit_model_lwd_bk.py:1332)')
     p.add_argument('--guidance-high', type=float, default=1.0,
                    help='CFG interval upper bound (see --guidance-low)')
+    p.add_argument('--sampler-mode', default='ode',
+                   choices=['ode', 'ddpm', 'ddim'],
+                   help="'ode' = flow-matching Euler (FiTv2, reference "
+                        "sample_fitv2_ddp.py); 'ddpm'/'ddim' = FiTv1 "
+                        'improved-diffusion loops (reference '
+                        'sample_fit_ddp.py) — num-sampling-steps becomes '
+                        'the timestep respacing')
     return p.parse_args(argv)
+
+
+_DIFFUSION_KEYS = ('noise_schedule', 'diffusion_steps', 'learn_sigma',
+                   'sigma_small', 'predict_xstart', 'use_kl',
+                   'rescale_learned_sigmas')
+
+
+def _diffusion_config(diff_cfg: dict) -> dict:
+    """create_diffusion kwargs from a config's ``diffusion`` section:
+    the reference-style ``improved_diffusion:`` subsection
+    (sample_fit_ddp.py:104-105) or flat keys (configs/fit_xl.yaml)."""
+    out = {k: v for k, v in diff_cfg.get('improved_diffusion', {}).items()
+           if k != 'timestep_respacing'}
+    for k in _DIFFUSION_KEYS:
+        if k in diff_cfg and k not in out:
+            out[k] = diff_cfg[k]
+    return out
 
 
 def main(argv=None):
@@ -99,7 +123,10 @@ def main(argv=None):
         ori_max_pe_len=args.ori_max_pe_len,
         data_parallel=args.data_parallel,
         velocity_eval_every=args.velocity_eval_every,
-        guidance_low=args.guidance_low, guidance_high=args.guidance_high)
+        guidance_low=args.guidance_low, guidance_high=args.guidance_high,
+        sampler_mode=args.sampler_mode,
+        diffusion_config=(_diffusion_config(cfg['diffusion'])
+                          if args.sampler_mode != 'ode' else None))
     fn = build_sampler(model, params, scfg, vae, vae_params)
     images = generate_fid_samples(
         fn, args.num_fid_samples,

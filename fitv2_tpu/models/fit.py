@@ -135,6 +135,11 @@ class FiT(nn.Module):
     def _remat_policy(self):
         if self.remat_policy == 'dots':
             return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        if self.remat_policy == 'dots_all':
+            # saves EVERY dot output including batched ones (the attention
+            # logits/AV products), so backward recomputes only elementwise —
+            # highest memory, fastest backward of the remat tiers.
+            return jax.checkpoint_policies.dots_saveable
         if self.remat_policy == 'full':
             return None  # save nothing, recompute everything
         raise ValueError(f'unknown remat_policy: {self.remat_policy!r}')
@@ -245,10 +250,14 @@ class FiT(nn.Module):
         """(B, N, p**2*C_out) -> (B, C_out, H, W) (reference fit_model.py:171-187).
 
         Set channel_last=True for NHWC (JAX-convolution-friendly).
+
+        Channels are inferred from the token dim (reference einops
+        ``(c p1 p2)`` pattern): model outputs carry out_channels, DDPM
+        ancestral samples carry in_channels only.
         """
         h, w = hw
         p = self.patch_size
-        c = self.out_channels
+        c = x.shape[-1] // (p * p)
         gh, gw = h // p, w // p
         x = x.reshape(x.shape[0], gh, gw, c, p, p)      # (B, gh, gw, C, p, p)
         x = jnp.einsum('bhwcpq->bhpwqc', x)             # (B, gh, p, gw, q, C)
@@ -261,17 +270,20 @@ class FiT(nn.Module):
 def forward_with_cfg(model: FiT, params, x: Array, t: Array, y: Array,
                      grid: Array, mask: Array, size: Optional[Array],
                      cfg_scale: float, scale_pow: float = 0.0,
-                     cfg_channels: Optional[int] = None) -> Array:
+                     cfg_channels: Optional[int] = None,
+                     variables: Optional[dict] = None) -> Array:
     """Classifier-free-guidance forward (reference fit_model.py:235-275).
 
     Inputs are the doubled (2B) batch where the second half carries the null
     class; x's second half is overwritten with the first (reference :246-247).
     CFG is applied to the first ``cfg_channels`` output channels only
-    (default 3*p**2, reference :253).
+    (default 3*p**2, reference :253). ``variables`` overrides the apply
+    collections (e.g. to carry quant_calib/quant_weights for int8 serving).
     """
     half = x[: x.shape[0] // 2]
     combined = jnp.concatenate([half, half], axis=0)
-    out = model.apply({'params': params}, combined, t, y, grid, mask, size)
+    out = model.apply(variables if variables is not None else
+                      {'params': params}, combined, t, y, grid, mask, size)
     c_cfg = cfg_channels if cfg_channels is not None \
         else 3 * model.patch_size * model.patch_size
     eps, rest = out[..., :c_cfg], out[..., c_cfg:]

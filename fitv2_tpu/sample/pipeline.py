@@ -69,6 +69,18 @@ class SamplingConfig:
     # main FM Euler path. (0.0, 1.0) = full-interval CFG (the parity path).
     guidance_low: float = 0.0
     guidance_high: float = 1.0
+    # 'ode' (flow-matching Euler, FiTv2) or 'ddpm'/'ddim' (FiTv1
+    # improved-diffusion ancestral/DDIM loops — reference
+    # sample_fit_ddp.py:173-175 runs diffusion.p_sample_loop over
+    # forward_with_cfg with the whole 2B CFG batch; num_sampling_steps
+    # becomes the timestep respacing).
+    sampler_mode: str = 'ode'
+    # kwargs for sched.gaussian_diffusion.create_diffusion when
+    # sampler_mode != 'ode' (noise_schedule, diffusion_steps, learn_sigma,
+    # ... — the reference's config_diffusion.improved_diffusion section,
+    # sample_fit_ddp.py:104-105). timestep_respacing is always overridden
+    # with str(num_sampling_steps).
+    diffusion_config: Optional[Dict[str, Any]] = None
 
 
 def apply_rope_interpolation(model, cfg: SamplingConfig):
@@ -120,6 +132,31 @@ def build_sampler(model, params, cfg: SamplingConfig,
         raise ValueError(
             'guidance_low/high does not compose with return_trajectory; '
             'use the full-interval path for trajectory dumps')
+    use_ddpm = cfg.sampler_mode != 'ode'
+    if use_ddpm:
+        # FiTv1 improved-diffusion sampling (reference sample_fit_ddp.py:
+        # 173-175): diffusion.p_sample_loop / ddim over forward_with_cfg on
+        # the whole 2B CFG batch; the model receives the RAW mapped integer
+        # timesteps (respace.py _WrappedModel semantics — _model_t here).
+        if cfg.sampler_mode not in ('ddpm', 'ddim'):
+            raise ValueError(
+                f"sampler_mode must be 'ode', 'ddpm' or 'ddim', got "
+                f'{cfg.sampler_mode!r}')
+        if cfg.velocity_eval_every > 1 or use_interval or return_trajectory:
+            raise ValueError(
+                'sampler_mode ddpm/ddim composes with none of '
+                'velocity_eval_every / guidance_low/high / '
+                'return_trajectory (flow-ladder features)')
+        from fitv2_tpu.sched.gaussian_diffusion import create_diffusion
+        dc = dict(cfg.diffusion_config or {})
+        dc.pop('timestep_respacing', None)
+        diffusion = create_diffusion(
+            timestep_respacing=str(cfg.num_sampling_steps), **dc)
+    elif model.learn_sigma:
+        raise ValueError(
+            "sampler_mode='ode' (flow-matching Euler) needs a velocity "
+            'model (learn_sigma=False); a learned-sigma FiTv1 model must '
+            "use sampler_mode='ddpm' or 'ddim'")
     n_dev = len(jax.local_devices()) if cfg.data_parallel else 1
     B = cfg.per_device_batch * n_dev
     token_dim = model.patch_size ** 2 * model.in_channels
@@ -166,9 +203,55 @@ def build_sampler(model, params, cfg: SamplingConfig,
         variables['quant_weights'] = prequantize_weights(
             model, params, batches[0])
 
+    if use_ddpm and cfg.cfg_scale <= 1.0:
+        grid_1, mask_1, size_1 = make_grid_mask_size(B, n_h, n_w, n_ctx)
+        if n_h * n_w == n_ctx:
+            mask_1 = None
+
+    def _decode(z):
+        """Valid tokens -> unpatchify -> (optional) VAE -> uint8
+        (reference sample_fitv2_ddp.py:319-328)."""
+        z = z[:, :n_h * n_w]
+        latents = model.unpatchify(z, (lat_h, lat_w), channel_last=True)
+        latents = latents[..., :model.in_channels]  # drop sigma channels
+        if vae is None:
+            return jnp.transpose(latents, (0, 3, 1, 2))
+        images = vae.apply({'params': vae_params},
+                           latents.astype(cfg.dtype) / cfg.vae_scale,
+                           method=vae.decode)
+        images = jnp.clip(images.astype(jnp.float32), -1.0, 1.0)
+        return jnp.clip(127.5 * images + 128.0, 0, 255).astype(jnp.uint8)
+
     def sample_fn(variables, rng: Array, labels: Array) -> Array:
         y = jnp.concatenate([labels.astype(jnp.int32), y_null])
         z = jax.random.normal(rng, (B, n_ctx, token_dim), jnp.float32)
+
+        if use_ddpm:
+            from fitv2_tpu.models.fit import forward_with_cfg
+            k_loop = jax.random.fold_in(rng, 1)
+            if cfg.cfg_scale > 1.0:
+                # whole-loop 2B CFG batch; forward_with_cfg re-syncs the
+                # halves each call (reference sample_fit_ddp.py:160-176)
+                def model_fn(x, t):
+                    return forward_with_cfg(
+                        model, None, x.astype(cfg.dtype),
+                        t.astype(jnp.float32), y, grid, mask, size,
+                        cfg.cfg_scale, variables=variables
+                    ).astype(jnp.float32)
+                noise = jnp.concatenate([z, z], axis=0)
+            else:
+                def model_fn(x, t):
+                    return model.apply(
+                        variables, x.astype(cfg.dtype),
+                        t.astype(jnp.float32), labels.astype(jnp.int32),
+                        grid_1, mask_1, size_1).astype(jnp.float32)
+                noise = z
+            loop = (diffusion.p_sample_loop if cfg.sampler_mode == 'ddpm'
+                    else diffusion.ddim_sample_loop)
+            z = loop(k_loop, model_fn, noise.shape, noise=noise,
+                     clip_denoised=False)
+            z = z[:B]
+            return _decode(z)
 
         def step(z, pair):
             t_cur, t_next = pair[0], pair[1]
@@ -241,18 +324,7 @@ def build_sampler(model, params, cfg: SamplingConfig,
             pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
             z, traj = jax.lax.scan(step, z, pairs)
 
-        z = z[:, :n_h * n_w]
-        latents = model.unpatchify(z, (lat_h, lat_w), channel_last=True)
-        latents = latents[..., :model.in_channels]  # drop sigma channels
-        if vae is None:
-            out = jnp.transpose(latents, (0, 3, 1, 2))
-        else:
-            images = vae.apply({'params': vae_params},
-                               latents.astype(cfg.dtype) / cfg.vae_scale,
-                               method=vae.decode)
-            images = jnp.clip(images.astype(jnp.float32), -1.0, 1.0)
-            out = jnp.clip(127.5 * images + 128.0, 0,
-                           255).astype(jnp.uint8)
+        out = _decode(z)
         return (out, traj) if return_trajectory else out
 
     if n_dev > 1:

@@ -294,3 +294,120 @@ def test_extrapolation_rejects_trajectory_mode():
                          velocity_eval_every=2)
     with pytest.raises(ValueError, match='velocity_eval_every'):
         build_sampler(model, params, cfg, return_trajectory=True)
+
+
+# -- sampler_mode 'ddpm' / 'ddim' (FiTv1 improved-diffusion path,
+#    reference sample_fit_ddp.py:160-183) ------------------------------------
+
+def _fitv1_model(ctx=64):
+    """FiTv1-style tiny config: epsilon + learned sigma, GELU-era adaLN
+    (reference configs/fit/config_fit_xl.yaml)."""
+    return FiT(context_size=ctx, patch_size=2, in_channels=4,
+               hidden_size=64, depth=2, num_heads=4, num_classes=10,
+               learn_sigma=True, use_sit=False, use_swiglu=True,
+               adaln_type='normal', max_cached_len=32)
+
+
+def _fitv1_params(model):
+    grid, mask, size = make_grid_mask_size(1, 8, 8, model.context_size)
+    return model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, model.context_size, 16)),
+                      jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+                      grid, mask, size)['params']
+
+
+def test_sampler_ddpm_mode_shapes_and_finite():
+    model = _fitv1_model()
+    params = _fitv1_params(model)
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=4, per_device_batch=2,
+                         num_classes=10, dtype=jnp.float32,
+                         sampler_mode='ddpm',
+                         diffusion_config={'diffusion_steps': 40})
+    fn = build_sampler(model, params, cfg)
+    out = fn(jax.random.PRNGKey(1), jnp.arange(2))
+    assert out.shape == (2, 4, 16, 16)  # sigma channels dropped
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sampler_ddim_no_cfg_single_batch():
+    model = _fitv1_model()
+    params = _fitv1_params(model)
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=4, per_device_batch=2,
+                         num_classes=10, dtype=jnp.float32, cfg_scale=1.0,
+                         sampler_mode='ddim',
+                         diffusion_config={'diffusion_steps': 40})
+    fn = build_sampler(model, params, cfg)
+    out = fn(jax.random.PRNGKey(1), jnp.arange(2))
+    assert out.shape == (2, 4, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sampler_ddpm_matches_direct_loop():
+    """The pipeline's ddpm mode must equal running the diffusion loop by
+    hand over forward_with_cfg on the same keys (wiring check: grid/mask,
+    2B CFG batch, decode tail)."""
+    from fitv2_tpu.models.fit import forward_with_cfg
+    from fitv2_tpu.sched.gaussian_diffusion import create_diffusion
+
+    model = _fitv1_model()
+    params = _fitv1_params(model)
+    B, n_ctx, steps = 2, 64, 4
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=steps, per_device_batch=B,
+                         num_classes=10, dtype=jnp.float32, cfg_scale=1.5,
+                         sampler_mode='ddpm',
+                         diffusion_config={'diffusion_steps': 40})
+    fn = build_sampler(model, params, cfg)
+    rng = jax.random.PRNGKey(3)
+    labels = jnp.arange(B) % 10
+    got = np.asarray(fn(rng, labels))
+
+    diffusion = create_diffusion(timestep_respacing=str(steps),
+                                 diffusion_steps=40)
+    grid, mask, size = make_grid_mask_size(2 * B, 8, 8, n_ctx)
+    mask = None  # full grid: pipeline drops the mask statically
+    y = jnp.concatenate([labels.astype(jnp.int32),
+                         jnp.full((B,), 10, jnp.int32)])
+
+    def model_fn(x, t):
+        return forward_with_cfg(model, params, x.astype(jnp.float32),
+                                t.astype(jnp.float32), y, grid, mask, size,
+                                1.5)
+
+    z = jax.random.normal(rng, (B, n_ctx, 16), jnp.float32)
+    out = diffusion.p_sample_loop(jax.random.fold_in(rng, 1), model_fn,
+                                  (2 * B, n_ctx, 16),
+                                  noise=jnp.concatenate([z, z]),
+                                  clip_denoised=False)[:B]
+    lat = model.unpatchify(out[:, :64], (16, 16), channel_last=True)[..., :4]
+    want = np.asarray(jnp.transpose(lat, (0, 3, 1, 2)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_sampler_ddpm_rejects_flow_features():
+    model = _fitv1_model()
+    params = _fitv1_params(model)
+    base = dict(image_height=128, image_width=128, num_sampling_steps=4,
+                per_device_batch=1, num_classes=10, dtype=jnp.float32,
+                sampler_mode='ddpm')
+    with pytest.raises(ValueError, match='compose'):
+        build_sampler(model, params,
+                      SamplingConfig(velocity_eval_every=2, **base))
+    with pytest.raises(ValueError, match='compose'):
+        build_sampler(model, params,
+                      SamplingConfig(guidance_low=0.3, **base))
+    with pytest.raises(ValueError, match='sampler_mode'):
+        build_sampler(model, params,
+                      SamplingConfig(**{**base, 'sampler_mode': 'heun'}))
+
+
+def test_ode_mode_rejects_learned_sigma_model():
+    model = _fitv1_model()
+    params = _fitv1_params(model)
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=4, per_device_batch=1,
+                         num_classes=10, dtype=jnp.float32)
+    with pytest.raises(ValueError, match='learn_sigma'):
+        build_sampler(model, params, cfg)

@@ -45,7 +45,8 @@ def run(remat_policy: str, mu_dtype):
         learn_sigma=False, use_sit=True, use_swiglu=True,
         q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
         adaln_lora_dim=288, custom_freqs='normal', max_cached_len=64,
-        use_checkpoint=True, remat_policy=remat_policy,
+        use_checkpoint=(remat_policy != 'none'),
+        remat_policy=remat_policy if remat_policy != 'none' else 'full',
         dtype=jnp.bfloat16)
     transport = create_transport('Linear', 'velocity', snr_type='lognorm')
     tx = make_optimizer(OptimizerConfig(learning_rate=1e-4,
@@ -111,7 +112,8 @@ def run_scan(remat_policy: str, mu_dtype, l1=4, l2=16):
         learn_sigma=False, use_sit=True, use_swiglu=True,
         q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
         adaln_lora_dim=288, custom_freqs='normal', max_cached_len=64,
-        use_checkpoint=True, remat_policy=remat_policy,
+        use_checkpoint=(remat_policy != 'none'),
+        remat_policy=remat_policy if remat_policy != 'none' else 'full',
         dtype=jnp.bfloat16)
     transport = create_transport('Linear', 'velocity', snr_type='lognorm')
     tx = make_optimizer(OptimizerConfig(learning_rate=1e-4,
@@ -171,8 +173,12 @@ if __name__ == '__main__':
     for c in combos:
         mode_policy, mu = (c.split(':') + ['f32'])[:2]
         mu_d = jnp.bfloat16 if mu == 'bf16' else None
-        if mode_policy.startswith('scan-'):
-            run_scan(mode_policy[5:], mu_d)
-        else:
-            run(mode_policy, mu_d)
+        try:
+            if mode_policy.startswith('scan-'):
+                run_scan(mode_policy[5:], mu_d)
+            else:
+                run(mode_policy, mu_d)
+        except Exception as e:  # OOMs shouldn't abort the remaining combos
+            print(f'train[{c}]: FAILED {type(e).__name__}: '
+                  f'{str(e).splitlines()[0][:160]}', flush=True)
     print('DONE', flush=True)
