@@ -31,10 +31,17 @@ FID_COMPARABILITY_NOTE = (
 
 class Evaluator:
     def __init__(self, inception_weights: Optional[str] = None,
-                 batch_size: int = 64):
+                 batch_size: int = 64, weights_are_adm: bool = False):
+        """``weights_are_adm`` is an explicit attestation that
+        ``inception_weights`` is a converted copy of the ADM suite's TF1
+        InceptionV3 weights — merely supplying SOME weights file (e.g. a
+        torchvision conversion) does not make FID comparable to the
+        published numbers, so comparability is never inferred from the
+        path alone."""
         self.model, self.params = load_inception(inception_weights)
         self.batch_size = batch_size
-        self.comparable_to_published = inception_weights is not None
+        self.comparable_to_published = (inception_weights is not None
+                                        and weights_are_adm)
         if not self.comparable_to_published:
             import logging
             logging.getLogger(__name__).warning(FID_COMPARABILITY_NOTE)

@@ -179,14 +179,22 @@ def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
             return flash_masked_attention(q, k, v, mask)
         except Exception:
             pass  # fall back to XLA (e.g. CPU tests, unsupported shapes)
-    if impl == 'pallas_core' and bounded_logits:
+    if impl in ('pallas_core', 'xla_chunked') and not bounded_logits:
+        # both alternatives use the max-subtraction-free softmax, which is
+        # only safe when the caller guarantees bounded logits (q/k both
+        # LayerNormed). A silent XLA substitution here would make "measuring
+        # the alternative" record the wrong implementation — fail loudly.
+        raise ValueError(
+            f'impl={impl!r} requires bounded_logits=True (QK-norm); '
+            "use impl='auto'/'xla' for unbounded logits")
+    if impl == 'pallas_core':
         try:
             from fitv2_tpu.ops.attention_core import attention_core
             qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             return attention_core(qh, kh, vh, mask).transpose(0, 2, 1, 3)
         except Exception:
             pass  # fall back to XLA (e.g. CPU without interpret mode)
-    if impl == 'xla_chunked' and bounded_logits:
+    if impl == 'xla_chunked':
         # explicit opt-in: no shape gate — the slicing loop handles a short
         # final chunk; only the bounded-softmax requirement is semantic
         # (exp without max-subtraction needs |logit| <= sqrt(Dh))

@@ -130,9 +130,9 @@ def adaln_norm(x: Array, shift: Array, scale: Array, eps: float = 1e-6,
     ms/step at XL; seen in optimized HLO round 3)."""
     on_tpu = jax.default_backend() not in ('cpu',)
     block_n = _pick_block_n(x.shape[-2])
-    if quantized:
-        impl = 'xla'
-    if impl == 'pallas' or (impl == 'auto' and on_tpu
+    # quantized steers only 'auto'; an explicit impl='pallas' still wins
+    # (e.g. to benchmark the kernel inside the int8 graph)
+    if impl == 'pallas' or (impl == 'auto' and not quantized and on_tpu
                             and x.shape[-1] % 128 == 0
                             and block_n is not None):
         try:

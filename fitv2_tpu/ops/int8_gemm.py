@@ -88,6 +88,11 @@ def int8_gemm_bias(xq: Array, wq: Array, scale: Array,
     """
     m, k = xq.shape
     n = wq.shape[1]
+    if not supports(m, k, n):
+        raise ValueError(
+            f'int8_gemm_bias: unsupported shape M={m} K={k} N={n} '
+            f'(need M%{_TM}==0, K%{_SUBLANE_S8}==0, lane-tileable N); '
+            'gate calls with supports()')
     tn = _pick_tn(n)
     scale2 = scale.reshape(1, n).astype(jnp.float32)
     bias2 = (jnp.zeros((1, n), jnp.float32) if bias is None
@@ -149,10 +154,12 @@ def int8_gemm_swiglu_quant(xq: Array, wq: Array, scale: Array,
     """
     m, k = xq.shape
     two_h = wq.shape[1]
+    if not supports_swiglu(m, k, two_h):
+        raise ValueError(
+            f'int8_gemm_swiglu_quant: unsupported shape M={m} K={k} '
+            f'2H={two_h}; gate calls with supports_swiglu()')
     h = two_h // 2
     th = _pick_tn(h)
-    assert th is not None and m % _TM == 0 and k % _SUBLANE_S8 == 0, (
-        'caller must check supports_swiglu()')
     wg, wv = wq[:, :h], wq[:, h:]
     scale = scale.astype(jnp.float32)
     sg, sv = scale[:h].reshape(1, h), scale[h:].reshape(1, h)

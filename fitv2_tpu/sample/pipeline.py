@@ -161,19 +161,19 @@ def build_sampler(model, params, cfg: SamplingConfig,
     B = cfg.per_device_batch * n_dev
     token_dim = model.patch_size ** 2 * model.in_channels
 
-    grid, mask, size = make_grid_mask_size(2 * B, n_h, n_w, n_ctx)
-    if n_h * n_w == n_ctx:
-        # full bucket: every token valid -> drop the mask STATICALLY so the
-        # softmax `where` and both padded-output zeroings leave the graph
-        # (the reference sampler always builds mask=ones here,
-        # sample_fitv2_ddp.py:263-271 — identical results)
-        mask = None
+    def _bucket_inputs(batch):
+        """grid/mask/size at the given batch; on a full bucket the mask is
+        dropped STATICALLY so the softmax `where` and both padded-output
+        zeroings leave the graph (the reference sampler always builds
+        mask=ones here, sample_fitv2_ddp.py:263-271 — identical results)."""
+        g, m, s = make_grid_mask_size(batch, n_h, n_w, n_ctx)
+        return g, (None if n_h * n_w == n_ctx else m), s
+
+    grid, mask, size = _bucket_inputs(2 * B)
     y_null = jnp.full((B,), cfg.num_classes, jnp.int32)
     sigmas = jnp.linspace(0.0, 1.0, cfg.num_sampling_steps + 1)
     if use_interval:
-        grid_c, mask_c, size_c = make_grid_mask_size(B, n_h, n_w, n_ctx)
-        if n_h * n_w == n_ctx:
-            mask_c = None
+        grid_c, mask_c, size_c = _bucket_inputs(B)
         sig_np = np.linspace(0.0, 1.0, cfg.num_sampling_steps + 1)
         pairs_np = np.stack([sig_np[:-1], sig_np[1:]], axis=-1)
         in_win = ((pairs_np[:, 0] >= cfg.guidance_low)
@@ -204,9 +204,7 @@ def build_sampler(model, params, cfg: SamplingConfig,
             model, params, batches[0])
 
     if use_ddpm and cfg.cfg_scale <= 1.0:
-        grid_1, mask_1, size_1 = make_grid_mask_size(B, n_h, n_w, n_ctx)
-        if n_h * n_w == n_ctx:
-            mask_1 = None
+        grid_1, mask_1, size_1 = _bucket_inputs(B)
 
     def _decode(z):
         """Valid tokens -> unpatchify -> (optional) VAE -> uint8

@@ -36,6 +36,7 @@ class InlineEvalHook:
     n_preview: int = 16
     ref_images: Optional[str] = None          # npz with arr_0 (uint8)
     inception_weights: Optional[str] = None
+    weights_are_adm: bool = False  # attest ADM TF-Inception conversion
     vae: Any = None
     vae_params: Any = None
     out_dir: Optional[str] = None
@@ -55,7 +56,9 @@ class InlineEvalHook:
     def _ensure_eval(self):
         if self._evaluator is None and self.ref_images is not None:
             from fitv2_tpu.eval.evaluator import Evaluator
-            self._evaluator = Evaluator(self.inception_weights)
+            self._evaluator = Evaluator(
+                self.inception_weights,
+                weights_are_adm=self.weights_are_adm)
             self._ref_acts = self._evaluator.read_activations(self.ref_images)
 
     def __call__(self, step: int, train_metrics: Dict[str, float]) -> None:

@@ -53,7 +53,11 @@ _SLOW_TESTS = {
     'test_lwd.py': ['test_lwd_train_step_reduces_loss',
                     'test_sample_and_cfg_shapes',
                     'test_forward_run_layer_segments_differ',
-                    'test_sample_maruyama_cfg'],
+                    'test_sample_maruyama_cfg',
+                    'test_fourier_basis_output',
+                    'test_shared_trunk_blocks',
+                    'test_repa_head_and_alignment',
+                    'test_sample_intermediates_and_representations'],
     'test_lwd_sharedenc.py': ['test_forward_run_layer_finetune_modes',
                               'test_sample_maruyama_cfg_runs',
                               'test_sample_wo_cfg_family_returns',
@@ -66,17 +70,20 @@ _SLOW_TESTS = {
                         'test_trainer_ddpm_objective_fitv1'],
     'test_lwd_distill.py': ['test_distill_step_runs_and_reduces_loss'],
     'test_evaluator_e2e.py': ['test_compute_all_identical_batches'],
-    'test_sample_pipeline.py': ['test_sampler_with_vae_uint8'],
+    'test_sample_pipeline.py': ['test_sampler_with_vae_uint8',
+                                'test_sampler_latents_only'],
     'test_eval.py': ['test_inception_forward_shapes'],
     'test_lwd_multiscale.py': ['test_sample_multiscale_runs'],
     'test_cli.py': ['test_cli_train_smoke'],
     'test_train.py': ['test_train_step_reduces_loss',
-                      'test_sharded_train_step_on_mesh'],
+                      'test_sharded_train_step_on_mesh',
+                      'test_finetune_freeze_by_pattern'],
     'test_ckpt_key_inventory.py': [
         'test_inventory_converts_fully_and_matches_flax_tree'],
     'test_timestep_sampler.py': ['test_ddpm_step_accepts_importance_batch'],
     'test_quant.py': ['test_fit_int8_calibrated_forward',
-                      'test_build_sampler_int8_serving'],
+                      'test_build_sampler_int8_serving',
+                      'test_fitlwd_int8_sampler_runs'],
     'test_gan_ddpm_steps.py': ['test_ddpm_train_step_fitv1',
                                'test_gan_steps'],
     'test_vae.py': ['test_importer_covers_init_tree'],
@@ -86,13 +93,6 @@ _SLOW_TESTS = {
     'test_eval_hook.py': ['test_inline_eval_hook_preview'],
     'test_attention_viz.py': ['test_capture_and_rollout'],
 }
-_SLOW_TESTS['test_quant.py'].append('test_fitlwd_int8_sampler_runs')
-_SLOW_TESTS['test_lwd.py'] += ['test_fourier_basis_output',
-                               'test_shared_trunk_blocks',
-                               'test_repa_head_and_alignment',
-                               'test_sample_intermediates_and_representations']
-_SLOW_TESTS['test_sample_pipeline.py'].append('test_sampler_latents_only')
-_SLOW_TESTS['test_train.py'].append('test_finetune_freeze_by_pattern')
 def pytest_collection_modifyitems(config, items):
     """Two test tiers: `pytest tests/` = fast tier (~10 min, gates work);
     `pytest tests/ --slow` = full tier (adds the heavy e2e/scale goldens,

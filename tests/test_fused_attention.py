@@ -70,3 +70,14 @@ def test_supports_gates_cpu():
     # on the CPU test backend the fused path must be off in 'auto' dispatch
     assert not fa.supports(256, 1152, 16, 'split', 'layernorm', 'layernorm',
                            False, False, False)
+
+
+def test_explicit_alt_impl_requires_bounded_logits():
+    """An explicitly requested pallas_core/xla_chunked dispatch without the
+    bounded-logits guarantee must raise, not silently run the XLA chain
+    (a benchmark 'of the alternative' would measure the wrong code)."""
+    from fitv2_tpu.ops.attention import masked_attention
+    q = jnp.zeros((1, 8, 2, 16), jnp.float32)
+    for impl in ('pallas_core', 'xla_chunked'):
+        with pytest.raises(ValueError, match='bounded_logits'):
+            masked_attention(q, q, q, None, impl=impl, bounded_logits=False)

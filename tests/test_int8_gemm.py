@@ -187,3 +187,18 @@ def test_fit_fused_serving_matches_xla_serving():
     assert calls['bias'] >= 3 and calls['swiglu'] >= 1, calls
     rel = np.linalg.norm(fused - ref) / (np.linalg.norm(ref) + 1e-12)
     assert rel < 0.02, rel
+
+
+def test_unsupported_shapes_raise():
+    """Misaligned shapes must error, not silently drop tail rows: the grid
+    covers floor(M/TM) tiles, so an un-gated M=*odd* call would leave the
+    remainder rows unwritten."""
+    xq = jnp.zeros((100, 160), jnp.int8)   # M=100 not %512
+    wq = jnp.zeros((160, 256), jnp.int8)
+    s = jnp.ones((256,), jnp.float32)
+    with pytest.raises(ValueError, match='unsupported shape'):
+        ig.int8_gemm_bias(xq, wq, s, None)
+    wg = jnp.zeros((160, 512), jnp.int8)
+    with pytest.raises(ValueError, match='unsupported shape'):
+        ig.int8_gemm_swiglu_quant(xq, wg, jnp.ones((512,), jnp.float32),
+                                  None, jnp.float32(1.0))

@@ -32,12 +32,14 @@ from fitv2_tpu.train import (
 pytestmark = pytest.mark.slow
 
 
-def build_overfit_setup(seed=0, n_h=4, n_w=4, hidden=96, depth=2):
+def build_overfit_setup(seed=0, n_h=4, n_w=4, hidden=96, depth=2,
+                        class_dropout_prob=0.0):
     """Shared by this test and tools/overfit_probe.py."""
     n_ctx = n_h * n_w
     model = FiT(context_size=n_ctx, patch_size=2, in_channels=4,
                 hidden_size=hidden, depth=depth, num_heads=4, num_classes=10,
-                class_dropout_prob=0.0, learn_sigma=False, use_sit=True,
+                class_dropout_prob=class_dropout_prob,
+                learn_sigma=False, use_sit=True,
                 use_swiglu=True, q_norm='layernorm', k_norm='layernorm',
                 adaln_type='lora', adaln_lora_dim=24, max_cached_len=16)
     gw, gh = np.meshgrid(np.arange(n_w), np.arange(n_h))
@@ -172,3 +174,41 @@ def test_overfit_one_sample_recovers_target():
           f'vs dense endpoint {drift_x:.4f}')
     assert err_x < 0.2, err_x
     assert drift_x < 0.1, drift_x
+
+
+def test_overfit_guidance_interval_recovers_target():
+    """Trained-model evidence for the guidance-interval serving mode
+    (SamplingConfig guidance_low/high): with class dropout the model learns
+    the point-mass field under BOTH the conditional and null classes, so the
+    full CFG pipeline and the interval pipeline (single conditional forward
+    outside the [0.3, 0.9] window) must both land on the target — the same
+    distribution-level check the int8/extrapolation modes get above."""
+    from fitv2_tpu.sample.pipeline import SamplingConfig, build_sampler
+
+    model, batch = build_overfit_setup(class_dropout_prob=0.15)
+    target = np.asarray(batch['feature'][:1])
+    tgt_px = np.asarray(model.unpatchify(
+        jnp.asarray(target), (8, 8), channel_last=False))
+
+    params, loss_first, loss_last = train_overfit(model, batch, steps=1800)
+    assert loss_last < 0.3 * loss_first, (loss_first, loss_last)
+
+    base = dict(image_height=64, image_width=64, num_sampling_steps=50,
+                per_device_batch=1, num_classes=10, dtype=jnp.float32,
+                cfg_scale=1.5)
+    labels = batch['label'][:1]
+    rng = jax.random.PRNGKey(21)
+
+    dense = build_sampler(model, params, SamplingConfig(**base))
+    out_d = np.asarray(dense(rng, labels))
+    win = build_sampler(model, params, SamplingConfig(
+        guidance_low=0.3, guidance_high=0.9, **base))
+    out_w = np.asarray(win(rng, labels))
+
+    err_d, err_w = _rel_l2(out_d, tgt_px), _rel_l2(out_w, tgt_px)
+    drift = _rel_l2(out_w, out_d)
+    print(f'interval-guidance overfit: dense-CFG relL2 {err_d:.4f}, '
+          f'window[.3,.9] relL2 {err_w:.4f}, drift {drift:.4f}')
+    assert err_d < 0.2, err_d
+    assert err_w < 0.2, err_w
+    assert drift < 0.1, drift

@@ -139,16 +139,8 @@ def test_sampler_velocity_extrapolation_close_to_dense():
     latents on the same ladder, and closer than Euler on half the ladder
     (the same model-call budget)."""
     model = _model()
-    grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 64, 16)), jnp.zeros((1,)),
-                        jnp.zeros((1,), jnp.int32), grid, mask, size)['params']
     # randomize: adaLN-zero init makes fresh models output zero velocity
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
-    params = jax.tree_util.tree_unflatten(treedef, [
-        0.05 * jax.random.normal(k, l.shape, jnp.float32)
-        for k, l in zip(keys, leaves)])
+    params = _randomized_params(model)
 
     def run(steps, every):
         cfg = SamplingConfig(image_height=128, image_width=128,
@@ -411,3 +403,33 @@ def test_ode_mode_rejects_learned_sigma_model():
                          num_classes=10, dtype=jnp.float32)
     with pytest.raises(ValueError, match='learn_sigma'):
         build_sampler(model, params, cfg)
+
+
+@pytest.mark.slow
+def test_sampler_ddpm_data_parallel_and_vae():
+    """ddpm mode composes with data_parallel sharding (the 2B CFG loop
+    batch under the 'data' mesh) and the VAE decode tail — equality vs the
+    single-device path on the same rng/labels."""
+    model = _fitv1_model()
+    params = _fitv1_params(model)
+    vae = AutoencoderKL(block_out_channels=(8, 16, 16, 16))
+    vae_params = vae.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 16, 16, 3)))['params']
+    base = dict(image_height=128, image_width=128, num_sampling_steps=2,
+                num_classes=10, dtype=jnp.float32, sampler_mode='ddpm',
+                diffusion_config={'diffusion_steps': 40})
+    labels = jnp.arange(8) % 10
+
+    fn_dp = build_sampler(model, params,
+                          SamplingConfig(per_device_batch=1,
+                                         data_parallel=True, **base),
+                          vae, vae_params)
+    assert fn_dp.batch_size == 8
+    out_dp = fn_dp(jax.random.PRNGKey(3), labels)
+    assert out_dp.shape == (8, 128, 128, 3) and out_dp.dtype == jnp.uint8
+
+    fn_1 = build_sampler(model, params,
+                         SamplingConfig(per_device_batch=8, **base),
+                         vae, vae_params)
+    out_1 = fn_1(jax.random.PRNGKey(3), labels)
+    np.testing.assert_array_equal(np.asarray(out_dp), np.asarray(out_1))

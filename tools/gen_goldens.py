@@ -718,6 +718,87 @@ def gen_dinov2():
     print('wrote dinov2.npz')
 
 
+# -- improved-diffusion respaced DDIM golden ---------------------------------
+# Fully independent float64 numpy implementation of the IDDPM math
+# (linear beta schedule, respaced subsequence betas, learned-range variance,
+# eps -> x0 prediction, eta=0 DDIM update) so the JAX
+# sched/gaussian_diffusion.py ladder + loop is anchored to something that
+# shares no code with it. The "network" is a fixed analytic function
+# implemented identically on both sides (see tests/test_ddpm_golden.py).
+
+def _ddpm_analytic_model(x, t_orig, T):
+    """eps + learned-range var_raw from pure elementwise math (no weights)."""
+    tt = (np.asarray(t_orig, np.float64) / T)[:, None, None]
+    lin = np.linspace(-1.0, 1.0, x.shape[-1])
+    eps = 0.1 * x * np.cos(3.0 * tt) + 0.05 * np.sin(5.0 * tt + lin)
+    var_raw = np.tanh(0.1 * x + lin * tt)
+    return np.concatenate([eps, var_raw], axis=-1)
+
+
+def gen_ddpm():
+    T, n_resp = 100, 8
+    # linear schedule, IDDPM scaling (scale = 1000/T)
+    scale = 1000 / T
+    betas_full = np.linspace(scale * 1e-4, scale * 0.02, T)
+    # single-section respacing: round-accumulated stride over [0, T-1]
+    stride = (T - 1) / (n_resp - 1)
+    use_steps, cur = [], 0.0
+    for _ in range(n_resp):
+        use_steps.append(round(cur))
+        cur += stride
+    ac_full = np.cumprod(1.0 - betas_full)
+    last = 1.0
+    betas, tmap = [], []
+    for i in range(T):
+        if i in use_steps:
+            betas.append(1.0 - ac_full[i] / last)
+            last = ac_full[i]
+            tmap.append(i)
+    betas = np.array(betas)
+    tmap = np.array(tmap, np.int64)
+
+    ac = np.cumprod(1.0 - betas)
+    ac_prev = np.append(1.0, ac[:-1])
+    post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
+    post_logvar_clipped = np.log(np.append(post_var[1], post_var[1:]))
+    coef1 = betas * np.sqrt(ac_prev) / (1.0 - ac)
+    coef2 = (1.0 - ac_prev) * np.sqrt(1.0 - betas) / (1.0 - ac)
+
+    B, N, C = 2, 8, 4
+    rs = np.random.RandomState(0)
+    x_init = rs.randn(B, N, C)
+
+    # eta=0 DDIM rollout, clip_denoised=False
+    x = x_init.copy()
+    for ti in range(n_resp - 1, -1, -1):
+        t_orig = np.full((B,), tmap[ti])
+        out = _ddpm_analytic_model(x, t_orig, T)
+        eps = out[..., :C]
+        pred_x0 = (np.sqrt(1.0 / ac[ti]) * x
+                   - np.sqrt(1.0 / ac[ti] - 1.0) * eps)
+        x = (pred_x0 * np.sqrt(ac_prev[ti])
+             + np.sqrt(1.0 - ac_prev[ti]) * eps)
+    x_final = x
+
+    # p_mean_variance point golden at respaced t=3 (learned-range variance)
+    t_pm = 3
+    t_orig = np.full((B,), tmap[t_pm])
+    out = _ddpm_analytic_model(x_init, t_orig, T)
+    eps, var_raw = out[..., :C], out[..., C:]
+    pred_x0 = (np.sqrt(1.0 / ac[t_pm]) * x_init
+               - np.sqrt(1.0 / ac[t_pm] - 1.0) * eps)
+    mean = coef1[t_pm] * pred_x0 + coef2[t_pm] * x_init
+    frac = (var_raw + 1.0) / 2.0
+    logvar = (frac * np.log(betas[t_pm])
+              + (1.0 - frac) * post_logvar_clipped[t_pm])
+
+    np.savez(os.path.join(OUT, 'ddpm.npz'),
+             T=np.int64(T), n_resp=np.int64(n_resp), tmap=tmap,
+             x_init=x_init, x_final=x_final,
+             pmv_t=np.int64(t_pm), pmv_mean=mean, pmv_logvar=logvar,
+             pmv_pred_xstart=pred_x0)
+    print('wrote ddpm.npz  tmap =', tmap.tolist())
+
 
 if __name__ == '__main__':
     gen_rope()
@@ -727,3 +808,4 @@ if __name__ == '__main__':
     gen_vae()
     gen_clip()
     gen_dinov2()
+    gen_ddpm()
