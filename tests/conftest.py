@@ -74,7 +74,7 @@ _SLOW_TESTS = {
                                 'test_sampler_latents_only'],
     'test_eval.py': ['test_inception_forward_shapes'],
     'test_lwd_multiscale.py': ['test_sample_multiscale_runs'],
-    'test_cli.py': ['test_cli_train_smoke'],
+    'test_cli.py': ['test_cli_train_smoke', 'test_cli_evaluate_smoke'],
     'test_train.py': ['test_train_step_reduces_loss',
                       'test_sharded_train_step_on_mesh',
                       'test_finetune_freeze_by_pattern'],

@@ -90,3 +90,42 @@ accelerate:
     trainer = build_trainer(_to_plain(load_config(args.cfgdir)), args)
     state = trainer.train(max_steps=3, resume=False)
     assert int(state.step) == 3
+
+
+def test_cli_evaluate_smoke(tmp_path):
+    """evaluate CLI over two tiny image npzs and over precomputed stats
+    (the ADM evaluator invocation surface, reference fit/utils/evaluator.py)."""
+    import json
+    import numpy as np
+    from fitv2_tpu.cli import evaluate as ev_cli
+
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 255, (8, 64, 64, 3), np.uint8)
+    b = rng.randint(0, 255, (8, 64, 64, 3), np.uint8)
+    pa, pb = str(tmp_path / 'ref.npz'), str(tmp_path / 'samp.npz')
+    np.savez(pa, arr_0=a)
+    np.savez(pb, arr_0=b)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ev_cli.main([pa, pb, '--batch-size', '4'])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    for k in ('fid', 'sfid', 'inception_score', 'precision', 'recall'):
+        assert k in out and np.isfinite(out[k]), (k, out)
+    assert out['comparable_to_published'] is False
+
+    # precomputed-stats reference path
+    from fitv2_tpu.eval import statistics as stats
+    from fitv2_tpu.eval.evaluator import Evaluator
+    e = Evaluator(batch_size=4)
+    acts = e.read_activations(a)
+    mu, sigma = stats.activation_statistics(acts['pool3'])
+    ps = str(tmp_path / 'ref_stats.npz')
+    np.savez(ps, mu=mu, sigma=sigma)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ev_cli.main([ps, pb, '--batch-size', '4'])
+    out2 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(out2['fid'])
+    assert 'precision' not in out2
