@@ -40,8 +40,8 @@ def test_shipped_configs_build_models():
     cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), 'configs')
     for name in ('fitv2_xl.yaml', 'fitv2_hr_xl.yaml', 'fitv2_3b.yaml',
-                 'fitv2_small_cifar.yaml', 'bfm.yaml', 'fitv2_xl_lwd.yaml',
-                 'fit_xl.yaml'):
+                 'fitv2_hr_3b.yaml', 'fitv2_small_cifar.yaml', 'bfm.yaml',
+                 'bfm_xl.yaml', 'fitv2_xl_lwd.yaml', 'fit_xl.yaml'):
         cfg = load_config(os.path.join(cfg_dir, name))
         model = config_to_model(dict(cfg)['diffusion']['network_config'])
         assert model is not None, name
