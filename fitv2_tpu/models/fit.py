@@ -132,6 +132,25 @@ class FiT(nn.Module):
             ori_max_pe_len=self.ori_max_pe_len, online=self.online_rope,
             layout=layout)
 
+    def block_kwargs(self) -> dict:
+        """Constructor kwargs of one FiTBlock for this config. Single source
+        for the in-model scan stack below AND external block executors
+        (parallel/pipeline.py builds a standalone FiTBlock from these to run
+        the same stacked params under a GPipe schedule)."""
+        return dict(
+            hidden_size=self.hidden_size, num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio, swiglu=self.use_swiglu,
+            swiglu_large=self.use_swiglu_large, norm_layer=self.norm_type,
+            q_norm=self.q_norm, k_norm=self.k_norm,
+            qk_norm_weight=self.qk_norm_weight, qkv_bias=self.qkv_bias,
+            ffn_bias=self.ffn_bias, adaln_bias=self.adaln_bias,
+            adaln_type=self.adaln_type, adaln_lora_dim=self.adaln_lora_dim,
+            use_rope=self.rel_pos_embed is not None,
+            add_rel_pe_to_v=self.add_rel_pe_to_v, dtype=self.dtype,
+            attn_impl=self.attn_impl, save_attention=self.save_attention,
+            rope_layout=self.rope_layout,
+            quantized=self.gemm_precision == 'int8')
+
     def _remat_policy(self):
         if self.remat_policy == 'dots':
             return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
@@ -191,19 +210,7 @@ class FiT(nn.Module):
         else:
             global_adaln = 0.0
 
-        block_kwargs = dict(
-            hidden_size=self.hidden_size, num_heads=self.num_heads,
-            mlp_ratio=self.mlp_ratio, swiglu=self.use_swiglu,
-            swiglu_large=self.use_swiglu_large, norm_layer=self.norm_type,
-            q_norm=self.q_norm, k_norm=self.k_norm,
-            qk_norm_weight=self.qk_norm_weight, qkv_bias=self.qkv_bias,
-            ffn_bias=self.ffn_bias, adaln_bias=self.adaln_bias,
-            adaln_type=self.adaln_type, adaln_lora_dim=self.adaln_lora_dim,
-            use_rope=self.rel_pos_embed is not None,
-            add_rel_pe_to_v=self.add_rel_pe_to_v, dtype=self.dtype,
-            attn_impl=self.attn_impl, save_attention=self.save_attention,
-            rope_layout=self.rope_layout,
-            quantized=self.gemm_precision == 'int8')
+        block_kwargs = self.block_kwargs()
 
         if self.scan_blocks:
             from flax.core import freeze

@@ -33,17 +33,20 @@ Array = jax.Array
 class MeshConfig:
     """Axis sizes; -1 means 'remaining devices'.
 
-    Order: (data, fsdp, sequence, tensor). 'sequence' shards the TOKEN axis
-    of activations (sequence parallelism for the HR/long-token path — XLA
-    inserts the per-layer k/v all-gathers); it goes beyond reference parity
-    (the reference has no SP, SURVEY.md §2.9/§5)."""
+    Order: (data, stage, fsdp, sequence, tensor). 'sequence' shards the
+    TOKEN axis of activations (sequence parallelism for the HR/long-token
+    path — XLA inserts the per-layer k/v all-gathers); 'stage' is GPipe
+    pipeline parallelism over the depth-stacked block params
+    (parallel/pipeline.py). Both go beyond reference parity (the reference
+    has no SP or PP, SURVEY.md §2.9/§5)."""
     data: int = -1
+    stage: int = 1
     fsdp: int = 1
     sequence: int = 1
     tensor: int = 1
 
-    def resolve(self, n_devices: int) -> Tuple[int, int, int, int]:
-        sizes = [self.data, self.fsdp, self.sequence, self.tensor]
+    def resolve(self, n_devices: int) -> Tuple[int, int, int, int, int]:
+        sizes = [self.data, self.stage, self.fsdp, self.sequence, self.tensor]
         free = [i for i, s in enumerate(sizes) if s == -1]
         fixed = int(np.prod([s for s in sizes if s != -1]))
         assert len(free) <= 1, 'at most one axis may be -1'
@@ -57,17 +60,18 @@ class MeshConfig:
 
 def build_mesh(config: Optional[MeshConfig] = None,
                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (data, fsdp, sequence, tensor) mesh over the given devices.
+    """Build a (data, stage, fsdp, sequence, tensor) mesh over the devices.
 
     Device order follows jax.devices(), which enumerates ICI-contiguous
     chips first — so the innermost axes (tensor, sequence, fsdp) map to ICI
-    neighbors and 'data' (outermost) absorbs DCN hops on multi-slice.
+    neighbors, 'stage' neighbors (the ppermute ring) stay within a slice,
+    and 'data' (outermost) absorbs DCN hops on multi-slice.
     """
     config = config or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
-    d, f, sq, t = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(d, f, sq, t)
-    return Mesh(dev_array, ('data', 'fsdp', 'sequence', 'tensor'))
+    d, st, f, sq, t = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(d, st, f, sq, t)
+    return Mesh(dev_array, ('data', 'stage', 'fsdp', 'sequence', 'tensor'))
 
 
 # ---------------------------------------------------------------------------

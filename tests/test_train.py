@@ -185,9 +185,10 @@ def test_sequence_parallel_forward(eight_devices):
 
 
 def test_mesh_config_resolve():
-    assert MeshConfig(data=-1, fsdp=2, tensor=2).resolve(8) == (2, 2, 1, 2)
-    assert MeshConfig().resolve(8) == (8, 1, 1, 1)
-    assert MeshConfig(data=2, sequence=4).resolve(8) == (2, 1, 4, 1)
+    assert MeshConfig(data=-1, fsdp=2, tensor=2).resolve(8) == (2, 1, 2, 1, 2)
+    assert MeshConfig().resolve(8) == (8, 1, 1, 1, 1)
+    assert MeshConfig(data=2, sequence=4).resolve(8) == (2, 1, 1, 4, 1)
+    assert MeshConfig(data=2, stage=4).resolve(8) == (2, 4, 1, 1, 1)
     with pytest.raises(AssertionError):
         MeshConfig(data=3, fsdp=3, tensor=1).resolve(8)
 
