@@ -91,6 +91,7 @@ def update_ema(ema_params, params, decay: float = 0.9999):
 def make_train_step(model, transport: Transport,
                     tx: optax.GradientTransformation,
                     ema_decay: float = 0.9999,
+                    apply_fn: Optional[Callable] = None,
                     ) -> Callable[[TrainState, Dict[str, Array], Array],
                                   Tuple[TrainState, Dict[str, Array]]]:
     """Build the pure train-step fn for a FiT model.
@@ -98,12 +99,22 @@ def make_train_step(model, transport: Transport,
     batch dict: feature (B, N, C_tok), grid (B, 2, N), mask (B, N),
     label (B,), size (B, 1, 2). rng is folded with the step counter so one
     key serves the whole run.
+
+    ``apply_fn(params, x, t, y, grid, mask, size, rngs=...)`` overrides
+    ``model.apply`` with an alternative executor of the same network —
+    e.g. the GPipe pipelined forward (parallel/pipeline.py) built with
+    train=True.
     """
 
     def loss_fn(params, batch, rng):
         k_transport, k_drop = jax.random.split(rng)
 
         def model_fn(xt, t):
+            if apply_fn is not None:
+                return apply_fn(params, xt, t, batch['label'],
+                                batch['grid'], batch['mask'],
+                                batch.get('size'),
+                                rngs={'label_dropout': k_drop})
             return model.apply(
                 {'params': params}, xt, t, batch['label'], batch['grid'],
                 batch['mask'], batch.get('size'), train=True,

@@ -78,10 +78,13 @@ class TrainerConfig:
     # 'bf16' = bfloat16 compute with fp32 params/optimizer (the reference's
     # accelerate mixed_precision='bf16', train_fitv2.py:240-246); 'no' = fp32
     mixed_precision: str = 'bf16'
-    # mesh
+    # mesh: stage>1 turns on GPipe pipeline parallelism over the block
+    # stack (parallel/pipeline.py) with pp_microbatches per data shard
     mesh_data: int = -1
+    mesh_stage: int = 1
     mesh_fsdp: int = 1
     mesh_tensor: int = 1
+    pp_microbatches: int = 4
     # checkpoints / logging
     output_dir: str = 'runs/fitv2'
     checkpointing_steps: int = 4000
@@ -110,8 +113,8 @@ class Trainer:
         self.transport = transport or create_transport(
             config.path_type, config.prediction, snr_type=config.snr_type)
         self.mesh = build_mesh(MeshConfig(
-            data=config.mesh_data, fsdp=config.mesh_fsdp,
-            tensor=config.mesh_tensor))
+            data=config.mesh_data, stage=config.mesh_stage,
+            fsdp=config.mesh_fsdp, tensor=config.mesh_tensor))
         self.loader = loader
         self.ckpt = CheckpointManager(
             os.path.join(config.output_dir, 'checkpoints'),
@@ -133,6 +136,9 @@ class Trainer:
             mu_dtype=(jnp.dtype(config.mu_dtype)
                       if config.mu_dtype else None),
             lr_schedule=schedule))
+        if config.mesh_stage > 1 and config.objective == 'ddpm':
+            raise ValueError('pipeline parallelism supports the flow '
+                             'objective only')
         if config.objective == 'ddpm':
             # FiTv1 path: improved-diffusion epsilon/vb objective
             # (reference train_fit.py; learn_sigma models)
@@ -145,8 +151,15 @@ class Trainer:
             self._train_step = make_ddpm_train_step(
                 self.model, diffusion, self.tx, config.ema_decay)
         else:
+            apply_fn = None
+            if config.mesh_stage > 1:
+                from fitv2_tpu.parallel.pipeline import make_pipelined_forward
+                apply_fn = make_pipelined_forward(
+                    self.model, self.mesh, config.pp_microbatches,
+                    train=True)
             self._train_step = make_train_step(self.model, self.transport,
-                                               self.tx, config.ema_decay)
+                                               self.tx, config.ema_decay,
+                                               apply_fn=apply_fn)
 
     # -- state ----------------------------------------------------------------
 
@@ -162,6 +175,28 @@ class Trainer:
         return jax.device_put(state, shardings)
 
     def state_shardings(self, state: TrainState):
+        if self.cfg.mesh_stage > 1:
+            # PP: block stack split depth/S over 'stage'; params live where
+            # their stage runs, and params-shaped optimizer moments (adam
+            # mu/nu, accumulators) follow the same split — the per-stage
+            # memory saving PP exists for
+            from fitv2_tpu.parallel.pipeline import pipeline_param_shardings
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            param_sh = pipeline_param_shardings(self.mesh, state.params)
+
+            def opt_rule(path_tuple, leaf):
+                path = '/'.join(
+                    str(getattr(k, 'key', getattr(k, 'name', k)))
+                    for k in path_tuple)
+                if 'blocks/block' in path and getattr(leaf, 'ndim', 0) > 0:
+                    return NamedSharding(self.mesh, P('stage'))
+                return replicated(self.mesh)
+
+            opt_sh = jax.tree_util.tree_map_with_path(
+                opt_rule, state.opt_state)
+            return TrainState(
+                step=replicated(self.mesh), params=param_sh,
+                ema_params=param_sh, opt_state=opt_sh)
         param_sh = fit_param_shardings(self.mesh, state.params)
 
         def opt_sharding(x):

@@ -67,7 +67,10 @@ _SLOW_TESTS = {
                               'test_sample_maruyama_plain_and_intermediates'],
     'test_trainer.py': ['test_trainer_end_to_end_with_resume',
                         'test_trainer_came_optimizer',
-                        'test_trainer_ddpm_objective_fitv1'],
+                        'test_trainer_ddpm_objective_fitv1',
+                        'test_trainer_pipeline_parallel'],
+    'test_pipeline_parallel.py': ['test_pp_train_step_reduces_loss',
+                                  'test_pp_gradients_match_reference'],
     'test_lwd_distill.py': ['test_distill_step_runs_and_reduces_loss'],
     'test_evaluator_e2e.py': ['test_compute_all_identical_batches'],
     'test_sample_pipeline.py': ['test_sampler_with_vae_uint8',

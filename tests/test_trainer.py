@@ -86,3 +86,45 @@ def test_trainer_came_optimizer(tmp_path):
                      metric_hook=lambda s, m: metrics.append(m))
     assert int(state.step) == 4
     assert all(np.isfinite(m['loss']) for m in metrics)
+
+
+def test_trainer_pipeline_parallel(tmp_path, eight_devices):
+    """mesh_stage=4 runs the GPipe pipelined train step through the full
+    Trainer loop (parallel/pipeline.py) and the per-step losses match the
+    stage=1 run on the same data/seed — same math, different schedule.
+    fp32 (mixed_precision='no') so the comparison is tight."""
+    data_dir = str(tmp_path / 'data')
+    make_synthetic_latent_shards(data_dir, n=16, target_len=16, n_classes=10)
+
+    def model():
+        # class_dropout_prob=0: the pipelined executor applies the label
+        # embedder at a different flax rng path, so dropout draws differ;
+        # with dropout off the two runs are bitwise-comparable
+        return FiT(context_size=16, patch_size=2, in_channels=4,
+                   hidden_size=32, depth=4, num_heads=2, num_classes=10,
+                   learn_sigma=False, use_sit=True, use_swiglu=True,
+                   adaln_type='lora', adaln_lora_dim=8, max_cached_len=8,
+                   class_dropout_prob=0.0)
+
+    def run(stage):
+        cfg = TrainerConfig(
+            data_path=data_dir, target_len=16, global_batch_size=8,
+            num_workers=2, max_steps=3, learning_rate=1e-3,
+            lr_schedule='constant', mixed_precision='no',
+            output_dir=str(tmp_path / f'run{stage}'),
+            checkpointing_steps=100, log_every=1, seed=0,
+            mesh_data=2 if stage > 1 else -1, mesh_stage=stage,
+            pp_microbatches=2)
+        metrics = []
+        tr = Trainer(model(), cfg)
+        state = tr.train(max_steps=3, resume=False,
+                         metric_hook=lambda s, m: metrics.append(m))
+        return state, [m['loss'] for m in metrics]
+
+    state_pp, losses_pp = run(4)
+    # stage-sharded placement evidence: 4 blocks over 4 stages -> 1/stage
+    leaf = state_pp.params['blocks']['block']['attn']['qkv']['kernel']
+    assert leaf.sharding.shard_shape(leaf.shape)[0] == 1
+
+    _, losses_ref = run(1)
+    np.testing.assert_allclose(losses_pp, losses_ref, rtol=1e-4)
