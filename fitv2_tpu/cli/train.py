@@ -80,8 +80,10 @@ def build_trainer(cfg, args):
         checkpointing_steps=int(acc.get('checkpointing_steps', 4000)),
         checkpoints_total_limit=acc.get('checkpoints_total_limit', 4),
         milestone_steps=tuple(acc.get('checkpointing_steps_list', ()) or ()),
+        mesh_stage=int(acc.get('mesh_stage', 1)),
         mesh_fsdp=int(acc.get('mesh_fsdp', 1)),
         mesh_tensor=int(acc.get('mesh_tensor', 1)),
+        pp_microbatches=int(acc.get('pp_microbatches', 4)),
         objective=objective,
         diffusion_steps=int(diff.get('diffusion_steps', 1000)),
     )

@@ -51,6 +51,58 @@ class _ScanBlock(nn.Module):
         return x, None
 
 
+def embed_pre_trunk(model: 'FiT', sub, x: Array, t: Array, y: Array,
+                    grid: Array, size: Optional[Array], train: bool,
+                    force_drop_ids: Optional[Array]):
+    """The pre-trunk graph (time-shift, patch/time/label embed, RoPE,
+    global adaLN) shared by ``FiT.__call__`` and external block executors
+    (parallel/pipeline.py). ``sub(module, *args)`` applies a constructed
+    submodule: in-scope it calls it directly; out-of-scope it runs
+    ``module.apply`` on the matching params subtree. Single source of truth
+    for the pre graph — edit here, both executors follow.
+
+    Returns (x, c, freqs_cos, freqs_sin, global_adaln)."""
+    ts = model.time_shifting
+    t = jnp.minimum(ts * t / (1.0 + (ts - 1.0) * t), 1.0)
+    t = t.astype(model.dtype)
+
+    x = x.astype(model.dtype)
+    x = sub(PatchEmbedder(model.hidden_size, dtype=model.dtype,
+                          name='x_embedder'), x)
+    x = constrain_sequence(x, model.sequence_mesh)  # no-op when None
+    t_emb = sub(TimestepEmbedder(model.hidden_size, dtype=model.dtype,
+                                 name='t_embedder'), t)
+    y_emb = sub(LabelEmbedder(model.num_classes, model.hidden_size,
+                              model.class_dropout_prob, dtype=model.dtype,
+                              name='y_embedder'), y, train, force_drop_ids)
+    c = t_emb + y_emb  # (B, D)
+
+    freqs_cos, freqs_sin = model._rope(grid, size)
+
+    if model.adaln_type == 'lora':
+        global_adaln = sub(AdaLNModulation(
+            model.hidden_size, 6, adaln_type='normal',
+            use_bias=model.adaln_bias, dtype=model.dtype,
+            name='global_adaLN_modulation'), c)
+    else:
+        global_adaln = 0.0
+    return x, c, freqs_cos, freqs_sin, global_adaln
+
+
+def finalize_post_trunk(model: 'FiT', sub, x: Array, c: Array,
+                        mask: Optional[Array]) -> Array:
+    """The post-trunk graph (final layer + padded-token zeroing) shared by
+    ``FiT.__call__`` and external block executors — see embed_pre_trunk."""
+    x = sub(FinalLayer(model.hidden_size, model.patch_size,
+                       model.out_channels, norm_layer=model.norm_type,
+                       adaln_bias=model.adaln_bias,
+                       adaln_type=model.adaln_type, dtype=model.dtype,
+                       name='final_layer'), x, c)
+    if mask is not None:
+        x = x * mask.astype(x.dtype)[..., None]  # zero padded tokens
+    return x
+
+
 class FiT(nn.Module):
     """Flexible Diffusion Transformer (reference fit_model.py:21-116 hyperparams)."""
     context_size: int = 256
@@ -187,28 +239,9 @@ class FiT(nn.Module):
         out of the compiled graph. Full-grid sampling (the reference's own
         sampler always builds mask=ones, sample_fitv2_ddp.py:263-271) should
         pass None; identical outputs, fewer HBM passes."""
-        ts = self.time_shifting
-        t = jnp.minimum(ts * t / (1.0 + (ts - 1.0) * t), 1.0)
-        t = t.astype(self.dtype)
-
-        x = x.astype(self.dtype)
-        x = PatchEmbedder(self.hidden_size, dtype=self.dtype, name='x_embedder')(x)
-        x = constrain_sequence(x, self.sequence_mesh)  # no-op when None
-        t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype,
-                                 name='t_embedder')(t)
-        y_emb = LabelEmbedder(self.num_classes, self.hidden_size,
-                              self.class_dropout_prob, dtype=self.dtype,
-                              name='y_embedder')(y, train, force_drop_ids)
-        c = t_emb + y_emb  # (B, D)
-
-        freqs_cos, freqs_sin = self._rope(grid, size)
-
-        if self.adaln_type == 'lora':
-            global_adaln = AdaLNModulation(
-                self.hidden_size, 6, adaln_type='normal', use_bias=self.adaln_bias,
-                dtype=self.dtype, name='global_adaLN_modulation')(c)
-        else:
-            global_adaln = 0.0
+        x, c, freqs_cos, freqs_sin, global_adaln = embed_pre_trunk(
+            self, lambda m, *a: m(*a), x, t, y, grid, size, train,
+            force_drop_ids)
 
         block_kwargs = self.block_kwargs()
 
@@ -242,13 +275,7 @@ class FiT(nn.Module):
                     x, c, mask, freqs_cos, freqs_sin, global_adaln)
                 x = constrain_sequence(x, self.sequence_mesh)
 
-        x = FinalLayer(self.hidden_size, self.patch_size, self.out_channels,
-                       norm_layer=self.norm_type, adaln_bias=self.adaln_bias,
-                       adaln_type=self.adaln_type, dtype=self.dtype,
-                       name='final_layer')(x, c)
-        if mask is not None:
-            x = x * mask.astype(x.dtype)[..., None]  # zero padded tokens
-        return x
+        return finalize_post_trunk(self, lambda m, *a: m(*a), x, c, mask)
 
     # -- helpers ----------------------------------------------------------
 

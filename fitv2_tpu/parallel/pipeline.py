@@ -55,6 +55,20 @@ def pipeline_param_shardings(mesh: Mesh, params) -> Any:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def pipeline_opt_shardings(mesh: Mesh, opt_state) -> Any:
+    """NamedSharding tree for an optimizer state under PP: params-shaped
+    moments/accumulators of the stacked block leaves (any path through
+    ``blocks/block``) follow the same depth/S 'stage' split as their
+    params; scalars and everything else replicated."""
+    def rule(path_tuple, leaf):
+        path = '/'.join(str(getattr(k, 'key', getattr(k, 'name', k)))
+                        for k in path_tuple)
+        if 'blocks/block' in path and getattr(leaf, 'ndim', 0) > 0:
+            return NamedSharding(mesh, P('stage'))
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(rule, opt_state)
+
+
 def make_pipelined_forward(model, mesh: Mesh, n_microbatches: int,
                            train: bool = False):
     """Build ``fwd(params, x, t, y, grid, mask, size, rngs=None,
@@ -66,14 +80,14 @@ def make_pipelined_forward(model, mesh: Mesh, n_microbatches: int,
     the pipeline does not thread). Output matches ``model.apply``
     (tests/test_pipeline_parallel.py asserts forward and gradient parity).
     """
-    from fitv2_tpu.models.modules import (
-        AdaLNModulation, FiTBlock, FinalLayer, LabelEmbedder, PatchEmbedder,
-        TimestepEmbedder,
-    )
+    from fitv2_tpu.models.fit import embed_pre_trunk, finalize_post_trunk
+    from fitv2_tpu.models.modules import FiTBlock
 
     assert model.scan_blocks, 'pipeline needs the stacked nn.scan layout'
     assert model.gemm_precision == 'bf16', \
         'pipeline supports the bf16/fp32 parity path only'
+    assert model.sequence_mesh is None, \
+        'PP does not thread constrain_sequence; use SP or PP, not both'
     S = mesh.shape['stage']
     M = n_microbatches
     assert model.depth % S == 0, (model.depth, S)
@@ -99,29 +113,17 @@ def make_pipelined_forward(model, mesh: Mesh, n_microbatches: int,
             mask: Optional[Array] = None, size: Optional[Array] = None,
             rngs: Optional[dict] = None,
             force_drop_ids: Optional[Array] = None) -> Array:
-        # ---- pre (mirrors FiT.__call__, models/fit.py) ----
-        ts = model.time_shifting
-        t = jnp.minimum(ts * t / (1.0 + (ts - 1.0) * t), 1.0)
-        t = t.astype(model.dtype)
-        h = x.astype(model.dtype)
-        h = PatchEmbedder(model.hidden_size, dtype=model.dtype).apply(
-            {'params': params['x_embedder']}, h)
-        t_emb = TimestepEmbedder(model.hidden_size, dtype=model.dtype).apply(
-            {'params': params['t_embedder']}, t)
-        y_emb = LabelEmbedder(
-            model.num_classes, model.hidden_size, model.class_dropout_prob,
-            dtype=model.dtype).apply(
-            {'params': params['y_embedder']}, y, train, force_drop_ids,
-            rngs=rngs)
-        c = t_emb + y_emb
-        fc, fs = model._rope(grid, size)
-        if model.adaln_type == 'lora':
-            ga = AdaLNModulation(
-                model.hidden_size, 6, adaln_type='normal',
-                use_bias=model.adaln_bias, dtype=model.dtype).apply(
-                {'params': params['global_adaLN_modulation']}, c)
-        else:
-            ga = None
+        # ---- pre/post run replicated via the SAME graph FiT.__call__
+        # uses (models/fit.py embed_pre_trunk/finalize_post_trunk); only
+        # the applier differs: out-of-scope modules apply on their params
+        # subtree, addressed by the names the shared code assigns. ----
+        def sub(m, *args):
+            return m.apply({'params': params[m.name]}, *args, rngs=rngs)
+
+        h, c, fc, fs, ga = embed_pre_trunk(
+            model, sub, x, t, y, grid, size, train, force_drop_ids)
+        if model.adaln_type != 'lora':
+            ga = None  # scalar 0.0 hole: re-inserted by unpack below
 
         # Broadcast args with static None holes: the shard_map arg list
         # carries only the present ones; `unpack` re-inserts Nones (and the
@@ -192,13 +194,6 @@ def make_pipelined_forward(model, mesh: Mesh, n_microbatches: int,
             blocks, h, *bcast)
 
         # ---- post ----
-        out = FinalLayer(
-            model.hidden_size, model.patch_size, model.out_channels,
-            norm_layer=model.norm_type, adaln_bias=model.adaln_bias,
-            adaln_type=model.adaln_type, dtype=model.dtype).apply(
-            {'params': params['final_layer']}, h, c)
-        if mask is not None:
-            out = out * mask.astype(out.dtype)[..., None]
-        return out
+        return finalize_post_trunk(model, sub, h, c, mask)
 
     return fwd

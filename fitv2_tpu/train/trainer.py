@@ -139,6 +139,15 @@ class Trainer:
         if config.mesh_stage > 1 and config.objective == 'ddpm':
             raise ValueError('pipeline parallelism supports the flow '
                              'objective only')
+        if config.mesh_stage > 1:
+            data_shards = self.mesh.shape['data'] * self.mesh.shape['fsdp']
+            if (config.global_batch_size % data_shards or
+                    (config.global_batch_size // data_shards)
+                    % config.pp_microbatches):
+                raise ValueError(
+                    f'global_batch_size={config.global_batch_size} must '
+                    f'split into {data_shards} data shard(s) x '
+                    f'pp_microbatches={config.pp_microbatches}')
         if config.objective == 'ddpm':
             # FiTv1 path: improved-diffusion epsilon/vb objective
             # (reference train_fit.py; learn_sigma models)
@@ -180,23 +189,14 @@ class Trainer:
             # their stage runs, and params-shaped optimizer moments (adam
             # mu/nu, accumulators) follow the same split — the per-stage
             # memory saving PP exists for
-            from fitv2_tpu.parallel.pipeline import pipeline_param_shardings
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from fitv2_tpu.parallel.pipeline import (
+                pipeline_opt_shardings, pipeline_param_shardings)
             param_sh = pipeline_param_shardings(self.mesh, state.params)
-
-            def opt_rule(path_tuple, leaf):
-                path = '/'.join(
-                    str(getattr(k, 'key', getattr(k, 'name', k)))
-                    for k in path_tuple)
-                if 'blocks/block' in path and getattr(leaf, 'ndim', 0) > 0:
-                    return NamedSharding(self.mesh, P('stage'))
-                return replicated(self.mesh)
-
-            opt_sh = jax.tree_util.tree_map_with_path(
-                opt_rule, state.opt_state)
             return TrainState(
                 step=replicated(self.mesh), params=param_sh,
-                ema_params=param_sh, opt_state=opt_sh)
+                ema_params=param_sh,
+                opt_state=pipeline_opt_shardings(self.mesh,
+                                                 state.opt_state))
         param_sh = fit_param_shardings(self.mesh, state.params)
 
         def opt_sharding(x):
