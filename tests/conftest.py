@@ -70,7 +70,8 @@ _SLOW_TESTS = {
                         'test_trainer_ddpm_objective_fitv1',
                         'test_trainer_pipeline_parallel'],
     'test_pipeline_parallel.py': ['test_pp_train_step_reduces_loss',
-                                  'test_pp_gradients_match_reference'],
+                                  'test_pp_gradients_match_reference',
+                                  'test_pp_composes_with_grad_accumulation'],
     'test_lwd_distill.py': ['test_distill_step_runs_and_reduces_loss'],
     'test_evaluator_e2e.py': ['test_compute_all_identical_batches'],
     'test_sample_pipeline.py': ['test_sampler_with_vae_uint8',

@@ -172,3 +172,47 @@ def test_pp_param_shardings(eight_devices):
     leaf = placed['blocks']['block']['attn']['qkv']['kernel']
     # depth 8 split over 4 stages -> 2 blocks per stage-device shard
     assert leaf.sharding.shard_shape(leaf.shape)[0] == 2
+
+
+def test_pp_composes_with_grad_accumulation(eight_devices):
+    """optax.MultiSteps around the PP step: the accumulator's params-shaped
+    grad buffers follow the same stage split (pipeline_opt_shardings walks
+    arbitrary optimizer-state nesting by path)."""
+    import optax
+    from fitv2_tpu.parallel.pipeline import pipeline_opt_shardings
+
+    model = _model()
+    x, t, y, grid, mask, size = _batch()
+    params = _init(model, x, t, y, grid, mask, size)
+    mesh = build_mesh(MeshConfig(data=2, stage=4))
+    params = jax.device_put(params, pipeline_param_shardings(mesh, params))
+    tx = optax.MultiSteps(optax.adamw(3e-3), every_k_schedule=2)
+    opt_state = jax.device_put(
+        tx.init(params), pipeline_opt_shardings(mesh, tx.init(params)))
+
+    # acc_grads buffer for a stacked block leaf must be stage-sharded
+    acc = opt_state.acc_grads['blocks']['block']['attn']['qkv']['kernel']
+    assert acc.sharding.shard_shape(acc.shape)[0] == 2  # depth 8 / 4 stages
+
+    target = jax.random.normal(jax.random.PRNGKey(7),
+                               (x.shape[0], x.shape[1], 16))
+    fwd = make_pipelined_forward(model, mesh, n_microbatches=2)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return jnp.mean((fwd(p, x, t, y, grid, mask, size) - target) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    with mesh:
+        p0 = params
+        for _ in range(4):  # two accumulation cycles
+            params, opt_state, loss = step(params, opt_state)
+    assert np.isfinite(float(loss))
+    # after 2 full cycles the params must have moved
+    d = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, params, p0), 0.0)
+    assert d > 0.0
