@@ -50,6 +50,11 @@ def parse_args(argv=None):
                         'extrapolation in between '
                         '(flow/samplers.euler_sample_extrapolated); '
                         '1 = exact dense Euler (parity path)')
+    p.add_argument('--velocity-extrap-order', type=int, default=1,
+                   choices=(1, 2),
+                   help='extrapolation order between evals: 1 linear, '
+                        '2 Newton quadratic over the last three eval '
+                        'velocities (same model cost)')
     p.add_argument('--guidance-low', type=float, default=0.0,
                    help='CFG interval lower bound: steps with t_cur outside '
                         '[guidance-low, guidance-high] run a single '
@@ -123,6 +128,7 @@ def main(argv=None):
         ori_max_pe_len=args.ori_max_pe_len,
         data_parallel=args.data_parallel,
         velocity_eval_every=args.velocity_eval_every,
+        velocity_extrap_order=args.velocity_extrap_order,
         guidance_low=args.guidance_low, guidance_high=args.guidance_high,
         sampler_mode=args.sampler_mode,
         diffusion_config=(_diffusion_config(cfg['diffusion'])

@@ -54,7 +54,7 @@ def euler_sample(model_fn: ModelFn, x: Array, sigmas: Array,
 
 
 def euler_sample_extrapolated(model_fn: ModelFn, x: Array, sigmas: Array,
-                              eval_every: int = 2) -> Array:
+                              eval_every: int = 2, order: int = 1) -> Array:
     """Training-free NFE reduction by velocity extrapolation.
 
     Euler over the full ``sigmas`` ladder, but the model only runs on every
@@ -65,6 +65,12 @@ def euler_sample_extrapolated(model_fn: ModelFn, x: Array, sigmas: Array,
     PAPERS.md — velocity decomposition/estimation and speculative flow
     matching; this is the simplest first-order member of that family,
     implemented TPU-style as one lax.scan with a branch-free mask).
+
+    ``order=2`` keeps the last TWO eval velocities and extrapolates with
+    Newton's quadratic through (t_pp, v_pp), (t_p, v_p), (t_e, v_e) —
+    same model cost, one extra O(state) FMA per sub-step; tighter when the
+    velocity curves between evals (tests/test_transport.py asserts it
+    beats order=1 on a curved synthetic field at eval_every=4).
 
     NOT the same as a coarser Euler grid: the state still advances on the
     fine ladder with a per-step velocity estimate. With eval_every=2 the
@@ -86,29 +92,39 @@ def euler_sample_extrapolated(model_fn: ModelFn, x: Array, sigmas: Array,
     block_pairs = t_pairs[:n_blocks * eval_every].reshape(
         n_blocks, eval_every, 2)
 
+    assert order in (1, 2), order
+
+    def _safe_inv(dt):
+        # sign-preserving clamp: a descending ladder (sigmas 1 -> 0) has
+        # dt < 0; clamping the signed value would flip the slope sign
+        # and amplify the difference by ~1e8
+        return jnp.sign(dt) / jnp.maximum(jnp.abs(dt), 1e-8)
+
     def block(carry, pairs):
-        z, v_prev, t_prev, have_prev = carry
+        z, v_p, t_p, v_pp, t_pp, have1, have2 = carry
         t_e = pairs[0, 0]
         t_vec = jnp.full((z.shape[0],), t_e, z.dtype)
         v_e = model_fn(z, t_vec)
-        dt_e = t_e - t_prev
-        # sign-preserving clamp: a descending ladder (sigmas 1 -> 0) has
-        # dt_e < 0; clamping the signed value would flip the slope sign
-        # and amplify (v_e - v_prev) by ~1e8
-        slope = jnp.where(have_prev > 0,
-                          jnp.sign(dt_e)
-                          / jnp.maximum(jnp.abs(dt_e), 1e-8), 0.0)
-        dv = (v_e - v_prev) * slope
+        f1 = jnp.where(have1 > 0, (v_e - v_p) * _safe_inv(t_e - t_p), 0.0)
+        if order == 2:
+            # Newton quadratic through (t_pp,v_pp),(t_p,v_p),(t_e,v_e)
+            f01 = (v_p - v_pp) * _safe_inv(t_p - t_pp)
+            f2 = jnp.where(have2 > 0,
+                           (f1 - f01) * _safe_inv(t_e - t_pp), 0.0)
+
         # sub-step 0 uses v_e exactly; later sub-steps extrapolate
         def sub(zc, pair):
             t_cur, t_next = pair[0], pair[1]
-            v = v_e + dv * (t_cur - t_e)
+            v = v_e + f1 * (t_cur - t_e)
+            if order == 2:
+                v = v + f2 * (t_cur - t_e) * (t_cur - t_p)
             return zc + (t_next - t_cur) * v, None
         z, _ = jax.lax.scan(sub, z, pairs)
-        return (z, v_e, t_e, jnp.float32(1.0)), None
+        return (z, v_e, t_e, v_p, t_p, jnp.float32(1.0), have1), None
 
     v0 = jnp.zeros_like(x)
-    carry = (x, v0, jnp.float32(0.0), jnp.float32(0.0))
+    carry = (x, v0, jnp.float32(0.0), v0, jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0))
     if n_blocks:
         carry, _ = jax.lax.scan(block, carry, block_pairs)
     if rem:

@@ -60,6 +60,11 @@ class SamplingConfig:
     # extrapolation in between. 1 (default) = exact dense Euler (the parity
     # path); 2 halves the model cost. Opt-in speed mode, like int8.
     velocity_eval_every: int = 1
+    # extrapolation order between evals: 1 = linear-in-t (default),
+    # 2 = Newton quadratic through the last three eval velocities (same
+    # model cost, tighter when the field curves — see euler_sample_
+    # extrapolated)
+    velocity_extrap_order: int = 1
     # guidance interval: apply CFG (double-batch) only on steps whose t_cur
     # lies in [guidance_low, guidance_high]; outside the window the model
     # runs a SINGLE conditional batch (half cost per step). Semantics match
@@ -292,10 +297,12 @@ def build_sampler(model, params, cfg: SamplingConfig,
                     if b > a:
                         z = euler_sample_extrapolated(
                             dr, z, sigmas[a:b + 1],
-                            eval_every=cfg.velocity_eval_every)
+                            eval_every=cfg.velocity_eval_every,
+                            order=cfg.velocity_extrap_order)
             else:
                 z = euler_sample_extrapolated(
-                    drift, z, sigmas, eval_every=cfg.velocity_eval_every)
+                    drift, z, sigmas, eval_every=cfg.velocity_eval_every,
+                    order=cfg.velocity_extrap_order)
             traj = None
         elif use_interval:
             # Steps whose t_cur falls outside [guidance_low, guidance_high]

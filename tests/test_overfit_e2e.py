@@ -175,6 +175,18 @@ def test_overfit_one_sample_recovers_target():
     assert err_x < 0.2, err_x
     assert drift_x < 0.1, drift_x
 
+    # order=2 (Newton quadratic): same 13-eval budget at eval_every=4,
+    # must stay at least as close to the dense endpoint as order=1
+    out1 = np.asarray(jax.jit(lambda z: euler_sample_extrapolated(
+        model_fn, z, sigmas, eval_every=4, order=1))(z0))
+    out2 = np.asarray(jax.jit(lambda z: euler_sample_extrapolated(
+        model_fn, z, sigmas, eval_every=4, order=2))(z0))
+    d1, d2 = _rel_l2(out1, out), _rel_l2(out2, out)
+    print(f'eval_every=4 drift vs dense endpoint: order1 {d1:.4f}, '
+          f'order2 {d2:.4f}')
+    assert d2 < d1 * 1.1 + 1e-3, (d2, d1)
+    assert _rel_l2(out2, target) < 0.25
+
 
 def test_overfit_guidance_interval_recovers_target():
     """Trained-model evidence for the guidance-interval serving mode

@@ -247,3 +247,40 @@ def test_euler_extrapolated_descending_ladder():
     rel = (np.linalg.norm(np.asarray(extr) - np.asarray(dense))
            / np.linalg.norm(np.asarray(dense)))
     assert rel < 0.05, rel
+
+
+def test_euler_extrapolated_order2_beats_order1_on_curved_field():
+    """order=2 (Newton quadratic through the last three eval velocities)
+    must beat linear extrapolation on a field with genuine curvature in t,
+    at the same model-call budget (eval_every=4), and still degenerate to
+    dense Euler at eval_every=1."""
+    from fitv2_tpu.flow.samplers import euler_sample, euler_sample_extrapolated
+
+    A = jax.random.normal(jax.random.PRNGKey(0), (6, 6)) * 0.4
+
+    def model(x, t):
+        tt = t.reshape(-1, *([1] * (x.ndim - 1)))
+        # quadratic + oscillatory t-dependence: linear-in-t extrapolation
+        # has an O(dt^2) floor here, the quadratic does not
+        return jnp.tanh(x @ A) * (1.0 + tt * tt) + 0.5 * jnp.cos(4.0 * tt)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (3, 6))
+    sig = jnp.linspace(0.0, 1.0, 65)
+    ref = euler_sample(model, x0, jnp.linspace(0.0, 1.0, 513))
+
+    def rel(a):
+        return float(np.linalg.norm(np.asarray(a) - np.asarray(ref))
+                     / np.linalg.norm(np.asarray(ref)))
+
+    e1 = rel(euler_sample_extrapolated(model, x0, sig, eval_every=4,
+                                       order=1))
+    e2 = rel(euler_sample_extrapolated(model, x0, sig, eval_every=4,
+                                       order=2))
+    print(f'rel-L2 vs 512-step: order1 {e1:.2e}, order2 {e2:.2e}')
+    assert e2 < e1, (e2, e1)
+
+    # eval_every=1 degenerates to dense Euler regardless of order
+    a = euler_sample(model, x0, jnp.linspace(0.0, 1.0, 17))
+    b = euler_sample_extrapolated(model, x0, jnp.linspace(0.0, 1.0, 17),
+                                  eval_every=1, order=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -34,8 +34,9 @@ CFG_SCALE = 1.5
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != 'int8']
+    args = [a for a in sys.argv[1:] if a not in ('int8', '--order2')]
     precision = 'int8' if 'int8' in sys.argv[1:] else 'bf16'
+    order = 2 if '--order2' in sys.argv[1:] else 1
     evs = [int(a) for a in args] or [2, 4]
     print('backend:', jax.devices(), flush=True)
 
@@ -84,11 +85,13 @@ def main():
                                   grid, None, size)
                 c, u = jnp.split(out.astype(jnp.float32), 2, axis=0)
                 return u + CFG_SCALE * (c - u)
-            return euler_sample_extrapolated(drift, z, sigmas, eval_every=ev)
+            return euler_sample_extrapolated(drift, z, sigmas, eval_every=ev,
+                                             order=order)
 
         z0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, n_ctx, 16),
                                jnp.float32)
-        print(f'compiling {precision} eval_every={ev}...', flush=True)
+        print(f'compiling {precision} eval_every={ev} order={order}...',
+              flush=True)
         sample(params, extra, z0).block_until_ready()
         t0 = time.perf_counter()
         n = 3
