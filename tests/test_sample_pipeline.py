@@ -163,6 +163,19 @@ def test_sampler_velocity_extrapolation_close_to_dense():
     assert e_extr < e_half, (e_extr, e_half)
     assert e_extr < 0.05, e_extr
 
+    # velocity_extrap_order=2 threads through the pipeline and stays at
+    # least comparably close to dense on the same budget
+    cfg2 = SamplingConfig(image_height=128, image_width=128,
+                          num_sampling_steps=16, per_device_batch=2,
+                          num_classes=10, dtype=jnp.float32,
+                          velocity_eval_every=2, velocity_extrap_order=2)
+    extr2 = np.asarray(build_sampler(model, params, cfg2)(
+        jax.random.PRNGKey(5), jnp.arange(2)))
+    e2 = rel(extr2, dense)
+    print(f'order2 extrapolated-vs-dense relL2 {e2:.3e}')
+    assert np.isfinite(extr2).all()
+    assert e2 < max(e_extr * 1.5, 0.05), (e2, e_extr)
+
 
 def _randomized_params(model):
     grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
