@@ -38,11 +38,14 @@ def pytest_addoption(parser):
         help='also run tests marked slow (the full tier; see README)')
 
 
-# Tests measured >= ~25 s serial (single-core box, full-suite duration run
-# 2026-08-17: 4959 s total). Marked centrally so the tier assignment has one
-# source of truth; modules that are slow wholesale carry their own
+# Tests measured >= ~25 s serial (single-core box; duration runs
+# 2026-08-17 full suite 4959 s, 2026-08-18 fast tier re-timed solo 639 s
+# before the latest exclusions). Marked centrally so the tier assignment
+# has one source of truth; modules that are slow wholesale carry their own
 # `pytestmark = pytest.mark.slow` instead (test_xl_scale_goldens,
-# test_overfit_e2e). Fast tier after exclusion: ~10 min serial.
+# test_overfit_e2e). Fast tier after exclusion: ~9 min serial. NOTE when
+# re-timing: run SOLO — concurrent TPU probes or extra pytest processes on
+# this box inflate wall time ~2x.
 _SLOW_TESTS = {
     'test_lwd_recipes.py': ['test_finetune_recipe',
                             'test_finetune_only_updates_forecaster',
@@ -76,18 +79,21 @@ _SLOW_TESTS = {
     'test_evaluator_e2e.py': ['test_compute_all_identical_batches'],
     'test_sample_pipeline.py': ['test_sampler_with_vae_uint8',
                                 'test_sampler_latents_only'],
-    'test_eval.py': ['test_inception_forward_shapes'],
+    'test_eval.py': ['test_inception_forward_shapes',
+                     'test_inception_importer_covers_init_tree'],
     'test_lwd_multiscale.py': ['test_sample_multiscale_runs'],
     'test_cli.py': ['test_cli_train_smoke', 'test_cli_evaluate_smoke'],
     'test_train.py': ['test_train_step_reduces_loss',
                       'test_sharded_train_step_on_mesh',
-                      'test_finetune_freeze_by_pattern'],
+                      'test_finetune_freeze_by_pattern',
+                      'test_grad_accum_multisteps'],
     'test_ckpt_key_inventory.py': [
         'test_inventory_converts_fully_and_matches_flax_tree'],
     'test_timestep_sampler.py': ['test_ddpm_step_accepts_importance_batch'],
     'test_quant.py': ['test_fit_int8_calibrated_forward',
                       'test_build_sampler_int8_serving',
-                      'test_fitlwd_int8_sampler_runs'],
+                      'test_fitlwd_int8_sampler_runs',
+                      'test_prequantized_weights_match_dynamic'],
     'test_gan_ddpm_steps.py': ['test_ddpm_train_step_fitv1',
                                'test_gan_steps'],
     'test_vae.py': ['test_importer_covers_init_tree'],
