@@ -67,7 +67,8 @@ def init_params(model):
     """
     n_ctx = model.context_size
     cpu = jax.devices('cpu')[0]
-    with jax.default_device(cpu):
+    from fitv2_tpu.utils.compile_cache import persistent_cache_disabled
+    with persistent_cache_disabled(), jax.default_device(cpu):
         rng = jax.random.PRNGKey(0)
         grid1 = jnp.zeros((1, 2, n_ctx), jnp.int32)
         size1 = jnp.asarray([[[16, 16]]], jnp.int32)
@@ -162,35 +163,33 @@ def main():
         result['int8_serving_vs_baseline'] = round(
             int8_img_per_sec / BASELINE_IMG_PER_SEC, 4)
 
-        # max serving mode: int8 GEMMs + velocity extrapolation
-        # (flow/samplers.euler_sample_extrapolated, eval_every=2 — the model
-        # runs on 125 of the 250 ladder steps, linear velocity extrapolation
-        # between). Training-free approximation: trained-model endpoint
-        # drift 8e-4 on the overfit anchor (tests/test_overfit_e2e.py),
-        # FID-at-scale unverified — labeled separately from the exact paths.
-        from fitv2_tpu.flow.samplers import euler_sample_extrapolated
-
-        @jax.jit
-        def sample_x(params, extra, z):
-            def drift(zc, t_vec):
-                z2 = jnp.concatenate([zc, zc], 0).astype(jnp.bfloat16)
-                t2 = jnp.concatenate([t_vec, t_vec]).astype(jnp.float32)
-                out = mq.apply({'params': params, **extra}, z2, t2, y,
-                               grid, mask, size)
-                c, u = jnp.split(out.astype(jnp.float32), 2, axis=0)
-                return u + CFG_SCALE * (c - u)
-            return euler_sample_extrapolated(drift, z, sigmas, eval_every=2)
-
-        z0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, n_ctx, 16),
-                               jnp.float32)
-        sample_x(params, extra, z0).block_until_ready()
+        # max serving mode: int8 GEMMs + guidance-interval CFG [0.3, 0.9] +
+        # velocity-extrapolated Euler (eval_every=2, order=2 Newton) — the
+        # composed config from sample/pipeline.py (each guidance phase runs
+        # its own extrapolated scan with slope resets at the boundaries).
+        # Training-free approximation: the composed mode lands on the
+        # trained overfit anchor at the same relL2 as dense CFG
+        # (tests/test_overfit_e2e.py), FID-at-scale unverified — labeled
+        # separately from the exact paths. Measured 3.51 img/s on-chip
+        # (tools/composed_probe.py; extrap-only was 2.90, interval-only
+        # 1.81).
+        from fitv2_tpu.sample import SamplingConfig, build_sampler
+        xcfg = SamplingConfig(
+            image_height=256, image_width=256, num_sampling_steps=STEPS,
+            cfg_scale=CFG_SCALE, per_device_batch=BATCH,
+            dtype=jnp.bfloat16, guidance_low=0.3, guidance_high=0.9,
+            velocity_eval_every=2, velocity_extrap_order=2)
+        xfn = build_sampler(mq, params, xcfg)
+        labels = (jnp.arange(BATCH) % 1000).astype(jnp.int32)
+        rngl = jax.random.PRNGKey(1)
+        xfn(rngl, labels).block_until_ready()
         t0 = time.perf_counter()
         for _ in range(3):
-            out = sample_x(params, extra, z0)
+            out = xfn(rngl, labels)
         out.block_until_ready()
         mx = BATCH / ((time.perf_counter() - t0) / 3)
-        result['serving_max_int8_extrap2_value'] = round(mx, 4)
-        result['serving_max_int8_extrap2_vs_baseline'] = round(
+        result['serving_max_int8_interval_extrap2_value'] = round(mx, 4)
+        result['serving_max_int8_interval_extrap2_vs_baseline'] = round(
             mx / BASELINE_IMG_PER_SEC, 4)
 
         # int8 + guidance interval [0.3, 0.9] (EXACT ladder — no velocity

@@ -15,6 +15,7 @@ before backend init; jax.config only records the path).
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import platform
@@ -47,3 +48,23 @@ def enable_compile_cache(repo_root: str | None = None) -> str | None:
     except Exception:
         return None
     return d
+
+
+@contextlib.contextmanager
+def persistent_cache_disabled():
+    """Temporarily turn the persistent cache off (for CPU-side compiles).
+
+    XLA:CPU AOT cache entries record compile-side tuning "features"
+    (+prefer-no-gather/+prefer-no-scatter) that host feature detection
+    never reports, so every CPU cache LOAD logs a spurious SIGILL-hazard
+    error — even same-machine. CPU compiles are local and fast; the cache
+    only pays off through the TPU tunnel, so skip persistence for them
+    (same policy as __graft_entry__.dryrun_multichip, which disables it
+    process-wide for all-CPU runs)."""
+    import jax
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update('jax_compilation_cache_dir', None)
+        yield
+    finally:
+        jax.config.update('jax_compilation_cache_dir', old)

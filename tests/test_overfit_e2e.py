@@ -224,3 +224,19 @@ def test_overfit_guidance_interval_recovers_target():
     assert err_d < 0.2, err_d
     assert err_w < 0.2, err_w
     assert drift < 0.1, drift
+
+    # ---- composed serving mode: interval + velocity extrapolation --------
+    # (the config bench.py's serving_max reports; sample/pipeline.py runs
+    # each guidance phase as its own extrapolated scan with slope resets at
+    # the phase boundaries). Same bar as each ingredient alone: lands on the
+    # target, small drift from the dense-CFG endpoint.
+    comp = build_sampler(model, params, SamplingConfig(
+        guidance_low=0.3, guidance_high=0.9, velocity_eval_every=2,
+        velocity_extrap_order=2, **base))
+    out_c = np.asarray(comp(rng, labels))
+    err_c = _rel_l2(out_c, tgt_px)
+    drift_c = _rel_l2(out_c, out_d)
+    print(f'composed win[.3,.9]+extrap2-o2: relL2 {err_c:.4f}, '
+          f'drift vs dense {drift_c:.4f}')
+    assert err_c < 0.2, err_c
+    assert drift_c < 0.1, drift_c
