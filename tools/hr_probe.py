@@ -294,9 +294,46 @@ def stage_extrap():
                   flush=True)
 
 
+def stage_composed():
+    """HR serving maximum: int8 GEMMs + guidance-interval CFG [0.3, 0.9] +
+    velocity extrapolation N=2 order-2 through the real sampling pipeline
+    (the same composed build_sampler config bench.py's serving_max reports
+    at 256px)."""
+    from fitv2_tpu.sample import SamplingConfig, build_sampler
+    model = build_hr(True, 'int8')
+    grid, mask, size, y = make_inputs(2 * B)
+    params = init_params(model, grid, mask, size, y)
+    cfg = SamplingConfig(
+        image_height=512, image_width=512, num_sampling_steps=250,
+        cfg_scale=1.65, per_device_batch=B, dtype=jnp.bfloat16,
+        guidance_low=0.3, guidance_high=0.9,
+        velocity_eval_every=2, velocity_extrap_order=2)
+    fn = build_sampler(model, params, cfg)
+    labels = (jnp.arange(B) % 1000).astype(jnp.int32)
+    rng = jax.random.PRNGKey(1)
+    print('compiling HR composed (int8+win+extrap2-o2)...', flush=True)
+    out = fn(rng, labels)
+    jax.block_until_ready(out)
+    _ = np.asarray(out).ravel()[0]
+    times = []
+    for rnd in range(3):
+        t0 = time.perf_counter()
+        out = fn(rng, labels)
+        jax.block_until_ready(out)
+        _ = np.asarray(out).ravel()[0]
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print(f'round {rnd}: {dt*1000:.0f} ms ({B/dt:.4f} img/s)',
+              flush=True)
+    best = min(times[1:]) if len(times) > 1 else times[0]
+    print(f'HR composed best-of-steady: {B/best:.4f} img/s/chip',
+          flush=True)
+
+
 if __name__ == '__main__':
     print('backend:', jax.devices(), flush=True)
     for s in sys.argv[1:] or ['fwd', 'attn', 'sampler']:
         {'fwd': stage_fwd, 'attn': stage_attn,
-         'sampler': stage_sampler, 'extrap': stage_extrap}[s]()
+         'sampler': stage_sampler, 'extrap': stage_extrap,
+         'composed': stage_composed}[s]()
     print('DONE', flush=True)
