@@ -179,7 +179,10 @@ def main():
             cfg_scale=CFG_SCALE, per_device_batch=BATCH,
             dtype=jnp.bfloat16, guidance_low=0.3, guidance_high=0.9,
             velocity_eval_every=2, velocity_extrap_order=2)
-        xfn = build_sampler(mq, params, xcfg)
+        # quant_collections=extra: the composed mode serves the EXACT int8
+        # calibration measured above (the one backed by the cos=0.9996
+        # fidelity evidence), not a second built-in calibration pass.
+        xfn = build_sampler(mq, params, xcfg, quant_collections=extra)
         labels = (jnp.arange(BATCH) % 1000).astype(jnp.int32)
         rngl = jax.random.PRNGKey(1)
         xfn(rngl, labels).block_until_ready()
@@ -197,12 +200,11 @@ def main():
         # conditional forward outside (the reference's own LwD window
         # semantics, fit_model_lwd_bk.py:1332, lifted to the FM Euler
         # path). The first exact-ladder config past the baseline estimate.
-        from fitv2_tpu.sample import SamplingConfig, build_sampler
         scfg = SamplingConfig(
             image_height=256, image_width=256, num_sampling_steps=STEPS,
             cfg_scale=CFG_SCALE, per_device_batch=BATCH,
             dtype=jnp.bfloat16, guidance_low=0.3, guidance_high=0.9)
-        ifn = build_sampler(mq, params, scfg)
+        ifn = build_sampler(mq, params, scfg, quant_collections=extra)
         labels = (jnp.arange(BATCH) % 1000).astype(jnp.int32)
         rngl = jax.random.PRNGKey(1)
         ifn(rngl, labels).block_until_ready()

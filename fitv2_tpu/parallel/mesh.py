@@ -93,23 +93,42 @@ def sequence_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def constrain_sequence(x, mesh: Optional[Mesh]):
-    """Apply the SP activation constraint inside jit.
+    """Apply the per-block activation sharding constraint inside jit.
 
-    x: (batch, tokens, ...) activations. No-op when mesh is None or has no
-    'sequence' extent — models carry an optional ``sequence_mesh`` and call
-    this unconditionally (fitv2_tpu/models/fit.py). With a sequence axis,
-    activations STAY token-sharded through the MLP/norm/modulation chain;
-    XLA inserts the attention k/v all-gathers at the softmax einsum and
-    re-partitions afterward (the Ulysses-style SP layout for the long-token
-    HR path; the reference has no SP at all, SURVEY.md §2.9)."""
-    if mesh is None or mesh.shape.get('sequence', 1) == 1:
+    x: (batch, tokens, ...) activations. No-op when mesh is None or has
+    neither a 'sequence' extent nor a batch ('data'/'fsdp') extent — models
+    carry an optional ``sequence_mesh`` and call this unconditionally
+    (fitv2_tpu/models/fit.py).
+
+    With a sequence axis, activations STAY token-sharded through the
+    MLP/norm/modulation chain; XLA inserts the attention k/v all-gathers at
+    the softmax einsum and re-partitions afterward (the Ulysses-style SP
+    layout for the long-token HR path; the reference has no SP at all,
+    SURVEY.md §2.9).
+
+    With only batch axes (DP/FSDP meshes), activations are PINNED
+    batch-sharded at every block boundary. This is what makes FSDP compile
+    to the intended ZeRO-3 pattern — per-layer WEIGHT all-gathers with
+    batch-sharded compute. Without the pin, SPMD propagation is free to
+    keep the fsdp-sharded weights in place and re-shard the activations
+    instead (a TP-style layout with full-batch activation all-gathers and
+    all-to-all storms between blocks — observed on the 8-device virtual
+    mesh, tests/test_comm_patterns.py)."""
+    if mesh is None:
         return x
-    batch_extent = (mesh.shape.get('data', 1) * mesh.shape.get('fsdp', 1))
+    seq = mesh.shape.get('sequence', 1)
+    batch_axes = tuple(a for a in ('data', 'fsdp')
+                       if mesh.shape.get(a, 1) > 1)
+    if seq == 1 and not batch_axes:
+        return x
+    batch_extent = int(np.prod([mesh.shape[a] for a in batch_axes],
+                               dtype=np.int64)) if batch_axes else 1
     if (x.ndim < 2
             or x.shape[0] % batch_extent != 0
-            or x.shape[1] % mesh.shape['sequence'] != 0):
+            or x.shape[1] % seq != 0):
         return x  # e.g. batch-1 init traces; constraint would be invalid
-    return jax.lax.with_sharding_constraint(x, sequence_sharding(mesh))
+    spec = P(batch_axes or None, 'sequence' if seq > 1 else None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -25,9 +25,13 @@ from fitv2_tpu.models.grid_utils import make_grid_mask_size, pixels_to_tokens
 
 Array = jax.Array
 
-# CLI name -> custom_freqs (reference sample_fitv2_ddp.py:75-93)
+# CLI name -> custom_freqs (reference sample_fitv2_ddp.py:75-93).
+# 'keep' is ours: leave the model's RoPE config untouched (the HR configs
+# already carry online decoupled NTK — configs/fitv2_hr_xl.yaml — and
+# resetting them to 'normal' would silently sample a different model).
 INTERPOLATION_MODES = {
     'no': 'normal',
+    'keep': None,
     'linear': 'linear',
     'dynntk': 'ntk-aware',
     'ntkpro1': 'ntk-aware-pro1',
@@ -94,6 +98,8 @@ def apply_rope_interpolation(model, cfg: SamplingConfig):
     n_h, n_w = pixels_to_tokens(cfg.image_height, cfg.image_width,
                                 model.patch_size)
     mode = INTERPOLATION_MODES[cfg.interpolation]
+    if cfg.interpolation == 'keep':
+        return model
     if cfg.interpolation == 'no':
         return model.clone(custom_freqs='normal', online_rope=False)
     assert cfg.ori_max_pe_len is not None, (
@@ -107,7 +113,8 @@ def apply_rope_interpolation(model, cfg: SamplingConfig):
 
 def build_sampler(model, params, cfg: SamplingConfig,
                   vae=None, vae_params=None,
-                  return_trajectory: bool = False
+                  return_trajectory: bool = False,
+                  quant_collections: Optional[Dict[str, Any]] = None,
                   ) -> Callable[[Array, Array], Array]:
     """Returns jitted sample_fn(rng, labels(B,)) -> images.
 
@@ -117,6 +124,12 @@ def build_sampler(model, params, cfg: SamplingConfig,
     return_trajectory=True additionally returns the per-step noisy latents
     (steps, B, N, C) — the difficulty-analysis capture of
     reference sample_fitv2_ddp_difficulty.py:321-336.
+
+    quant_collections: precomputed {'quant_calib', 'quant_weights'} for the
+    int8 serving mode. When given, the pipeline uses exactly these instead
+    of running its own built-in calibration pass, so the served model is the
+    one whose fidelity was measured (bench.py passes its own so the composed
+    serving-max config shares the int8_serving calibration).
     """
     model = apply_rope_interpolation(model, cfg)
     n_h, n_w = pixels_to_tokens(cfg.image_height, cfg.image_width,
@@ -194,7 +207,9 @@ def build_sampler(model, params, cfg: SamplingConfig,
     # closing over the int8 kernels would embed ~0.5x the model size as HLO
     # constants (the remote-compile tunnel rejects such payloads).
     variables = {'params': params}
-    if getattr(model, 'gemm_precision', 'bf16') == 'int8':
+    if quant_collections is not None:
+        variables.update(quant_collections)
+    elif getattr(model, 'gemm_precision', 'bf16') == 'int8':
         from fitv2_tpu.ops.quant import (calibrate_quant_scales,
                                          prequantize_weights)
         crng = jax.random.PRNGKey(0)

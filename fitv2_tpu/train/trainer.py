@@ -79,10 +79,12 @@ class TrainerConfig:
     # accelerate mixed_precision='bf16', train_fitv2.py:240-246); 'no' = fp32
     mixed_precision: str = 'bf16'
     # mesh: stage>1 turns on GPipe pipeline parallelism over the block
-    # stack (parallel/pipeline.py) with pp_microbatches per data shard
+    # stack (parallel/pipeline.py) with pp_microbatches per data shard;
+    # sequence>1 shards the token axis (SP for the HR/long-token path)
     mesh_data: int = -1
     mesh_stage: int = 1
     mesh_fsdp: int = 1
+    mesh_sequence: int = 1
     mesh_tensor: int = 1
     pp_microbatches: int = 4
     # checkpoints / logging
@@ -108,13 +110,26 @@ class Trainer:
             # sampling/serving speed mode only (ops/quant.py)
             raise ValueError("gemm_precision='int8' is inference-only; "
                              "train in bf16 and quantize for serving")
-        self.model = model
         self.cfg = config
         self.transport = transport or create_transport(
             config.path_type, config.prediction, snr_type=config.snr_type)
         self.mesh = build_mesh(MeshConfig(
             data=config.mesh_data, stage=config.mesh_stage,
-            fsdp=config.mesh_fsdp, tensor=config.mesh_tensor))
+            fsdp=config.mesh_fsdp, sequence=config.mesh_sequence,
+            tensor=config.mesh_tensor))
+        if (config.mesh_stage == 1
+                and any(self.mesh.shape.get(a, 1) > 1
+                        for a in ('data', 'fsdp', 'sequence'))
+                and hasattr(model, 'sequence_mesh')
+                and model.sequence_mesh is None):
+            # pin block-boundary activations batch(+token)-sharded
+            # (parallel/mesh.constrain_sequence): under FSDP this forces the
+            # ZeRO-3 per-layer weight all-gather pattern instead of the
+            # TP-style activation re-layout SPMD propagation otherwise picks
+            # (tests/test_comm_patterns.py). PP schedules its own sharding
+            # (parallel/pipeline.py) and excludes this.
+            model = model.clone(sequence_mesh=self.mesh)
+        self.model = model
         self.loader = loader
         self.ckpt = CheckpointManager(
             os.path.join(config.output_dir, 'checkpoints'),

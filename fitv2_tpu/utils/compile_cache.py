@@ -60,11 +60,21 @@ def persistent_cache_disabled():
     error — even same-machine. CPU compiles are local and fast; the cache
     only pays off through the TPU tunnel, so skip persistence for them
     (same policy as __graft_entry__.dryrun_multichip, which disables it
-    process-wide for all-CPU runs)."""
+    process-wide for all-CPU runs).
+
+    Setting jax_compilation_cache_dir=None alone is NOT enough: jax
+    memoizes the cache object at the first cached compile
+    (compilation_cache._cache / _cache_used), so once any jit has run with
+    the cache enabled, later dir changes are ignored and CPU AOT entries
+    keep loading (the round-3 BENCH tail pollution). reset_cache() drops
+    the memoized state so the dir change takes effect both ways."""
     import jax
+    from jax._src import compilation_cache as _cc
     old = jax.config.jax_compilation_cache_dir
     try:
         jax.config.update('jax_compilation_cache_dir', None)
+        _cc.reset_cache()
         yield
     finally:
         jax.config.update('jax_compilation_cache_dir', old)
+        _cc.reset_cache()  # re-initialize with the restored dir on next use

@@ -446,3 +446,62 @@ def test_sampler_ddpm_data_parallel_and_vae():
                          vae, vae_params)
     out_1 = fn_1(jax.random.PRNGKey(3), labels)
     np.testing.assert_array_equal(np.asarray(out_dp), np.asarray(out_1))
+
+
+def test_rope_interpolation_keep_preserves_model():
+    """interpolation='keep' must leave the model's RoPE config untouched —
+    the HR configs (configs/fitv2_hr_xl.yaml) already carry online decoupled
+    NTK, and the default 'no' would silently reset them to cached-normal
+    (the round-3 advisor finding on tools/hr_probe.py stage_composed)."""
+    m = _model().clone(custom_freqs='ntk-aware', online_rope=True,
+                       decouple=True, ori_max_pe_len=4)
+    kept = apply_rope_interpolation(
+        m, SamplingConfig(interpolation='keep'))
+    assert kept is m
+    reset = apply_rope_interpolation(m, SamplingConfig(interpolation='no'))
+    assert reset.custom_freqs == 'normal' and not reset.online_rope
+
+
+def test_sampler_quant_collections_threading():
+    """build_sampler(quant_collections=...) serves exactly the passed
+    calibration instead of running its own pass (bench.py relies on this to
+    keep the composed serving-max config on the fidelity-measured int8
+    calibration)."""
+    from fitv2_tpu.ops.quant import (calibrate_quant_scales,
+                                     prequantize_weights)
+    model = _model().clone(gemm_precision='int8')
+    grid, mask, size = make_grid_mask_size(1, 8, 8, 64)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 16)), jnp.zeros((1,)),
+                        jnp.zeros((1,), jnp.int32), grid, mask, size)['params']
+    # randomize: at init the AdaLN-zero final layer makes every output
+    # identically zero, which would hide whether the collections are used
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for k, l in zip(keys, leaves)])
+    cfg = SamplingConfig(image_height=128, image_width=128,
+                         num_sampling_steps=2, per_device_batch=2,
+                         num_classes=10, dtype=jnp.float32)
+    out_default = np.asarray(
+        build_sampler(model, params, cfg)(jax.random.PRNGKey(1),
+                                          jnp.arange(2)))
+
+    # deliberately mis-scaled calibration (37x the recorded absmax — note
+    # scaling the INPUTS would not move the scales: every quantized site
+    # sits behind a LayerNorm): if the pipeline honors the passed
+    # collections the output must move
+    g4, m4, s4 = make_grid_mask_size(4, 8, 8, 64)
+    y4 = jnp.asarray([0, 1, 10, 10], jnp.int32)
+    ex = (jax.random.normal(jax.random.PRNGKey(7), (4, 64, 16)),
+          jnp.full((4,), 0.5), y4, g4, m4, s4)
+    calib = calibrate_quant_scales(model, params, [ex])
+    coll = {'quant_calib': jax.tree_util.tree_map(lambda v: 37.0 * v, calib),
+            'quant_weights': prequantize_weights(model, params, ex)}
+    fn = build_sampler(model, params, cfg, quant_collections=coll)
+    out_a = np.asarray(fn(jax.random.PRNGKey(1), jnp.arange(2)))
+    out_b = np.asarray(fn(jax.random.PRNGKey(1), jnp.arange(2)))
+    np.testing.assert_array_equal(out_a, out_b)
+    assert np.isfinite(out_a).all()
+    assert np.abs(out_a - out_default).max() > 0

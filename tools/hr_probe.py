@@ -303,9 +303,14 @@ def stage_composed():
     model = build_hr(True, 'int8')
     grid, mask, size, y = make_inputs(2 * B)
     params = init_params(model, grid, mask, size, y)
+    # interpolation='keep' preserves the model's online decoupled NTK RoPE
+    # (config_fitv2_hr_xl.yaml); the round-3 run used the default 'no',
+    # which cloned the model back to cached-normal RoPE and measured a
+    # different (cheaper) graph than stage_sampler/stage_extrap.
     cfg = SamplingConfig(
         image_height=512, image_width=512, num_sampling_steps=250,
         cfg_scale=1.65, per_device_batch=B, dtype=jnp.bfloat16,
+        interpolation='keep',
         guidance_low=0.3, guidance_high=0.9,
         velocity_eval_every=2, velocity_extrap_order=2)
     fn = build_sampler(model, params, cfg)
