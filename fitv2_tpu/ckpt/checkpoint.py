@@ -63,6 +63,13 @@ class CheckpointManager:
         return os.path.join(self.ckpt_dir, f'checkpoint-{step}')
 
     def save(self, step: int, state) -> str:
+        """Save `state` (host pytree) as checkpoint-{step}.
+
+        Multi-process: call on EVERY process — orbax's save is a collective
+        (it runs internal cross-process barriers; a rank0-only call crashes
+        with a sync_global_devices name mismatch, tests/test_multiprocess.py)
+        and elects the primary writer itself. Rotation happens on process 0
+        only."""
         path = self._path(step)
         if not self.async_save:
             self._ckptr.save(path, state, force=True)
@@ -84,6 +91,9 @@ class CheckpointManager:
     def _rotate(self) -> None:
         if self.total_limit is None:
             return
+        import jax
+        if jax.process_index() != 0:
+            return  # one deleter; concurrent rmtree across procs is racy
         steps = [s for s in list_checkpoints(self.ckpt_dir)
                  if s not in self.milestones]
         excess = len(steps) - self.total_limit

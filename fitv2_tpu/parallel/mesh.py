@@ -218,7 +218,12 @@ def sync_global_devices(name: str = 'barrier') -> None:
     multihost_utils.sync_global_devices(name)
 
 
-def process_allgather(x):
-    """Gather per-host arrays to all hosts (reference dist.all_gather)."""
+def process_allgather(x, tiled: bool = False):
+    """Gather per-host arrays to all hosts (reference dist.all_gather).
+
+    tiled=False stacks a new leading process axis (per-host numpy inputs,
+    the FID-sample gather). Global non-fully-addressable jax.Arrays require
+    tiled=True and come back as their full replicated value (the
+    checkpoint host-gather path, train/trainer.Trainer._host_state)."""
     from jax.experimental import multihost_utils
-    return multihost_utils.process_allgather(x)
+    return multihost_utils.process_allgather(x, tiled=tiled)

@@ -225,6 +225,23 @@ class Trainer:
                 opt_sharding, state.opt_state,
                 is_leaf=lambda x: hasattr(x, 'shape')))
 
+    @staticmethod
+    def _host_state(state):
+        """Fetch the full TrainState to host numpy on every process.
+
+        Single-process: plain device fetch. Multi-process: state arrays are
+        global jax.Arrays (not fully addressable), so np.asarray would
+        throw — process_allgather returns the fully-replicated value on
+        every host (the reference's FSDP FULL_STATE_DICT rank0-offload
+        equivalent, train_fitv2.py:225-231). Exercised by
+        tests/test_multiprocess.py."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            # tiled=True: global arrays come back as their full replicated
+            # value (tiled=False would stack a process axis / throw)
+            return multihost_utils.process_allgather(state, tiled=True)
+        return jax.tree_util.tree_map(np.asarray, state)
+
     # -- loop -------------------------------------------------------------------
 
     def train(self, max_steps: Optional[int] = None,
@@ -251,7 +268,7 @@ class Trainer:
             state = self.init_state(first)
         if resume_step:
             restored, found = self.ckpt.restore(
-                jax.tree_util.tree_map(np.asarray, state), step=resume_step)
+                self._host_state(state), step=resume_step)
             if restored is not None:
                 state = jax.device_put(restored,
                                        self.state_shardings(state))
@@ -285,9 +302,12 @@ class Trainer:
                 if metric_hook:
                     metric_hook(step, m)
             if step % cfg.checkpointing_steps == 0 or step >= max_steps:
-                host_state = jax.tree_util.tree_map(np.asarray, state)
-                if is_main_process():
-                    self.ckpt.save(step, host_state)
+                host_state = self._host_state(state)
+                # EVERY process calls save: orbax's save is a collective
+                # (internal barriers) and elects the writer itself — a
+                # rank0-only call deadlocks on a real pod
+                # (tests/test_multiprocess.py)
+                self.ckpt.save(step, host_state)
             if step >= max_steps:
                 break
         if self.cfg.async_checkpointing and is_main_process():
