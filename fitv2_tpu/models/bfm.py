@@ -1,22 +1,26 @@
-"""BFM — block flow matching (standalone small-config LwD variant).
+"""BFM — block flow matching (standalone LwD variant with a shared encoder).
 
-The reference's bfm.py (/root/reference/fit/model/bfm.py:18-829) is
-structurally the FiTLwD family at a small config (configs/fitv2/
-config_bfm.yaml:17-47: hidden 384, depth 24, heads 6, K segments, REPA head)
-with the same segment samplers (forward_wo_cfg / forward_cfg /
-forward_maruyama). Here it is a configuration of FiTLwD plus the optimizer
-param-group helper the BFM trainer uses.
+The reference's bfm.py (/root/reference/fit/model/bfm.py:18-829) runs a
+SHARED representation-block encoder over the noisy tokens every segment
+step (bfm.py:295-305: representation_x_embedder -> representation_blocks ->
+c_repre = t_emb[:, None] + rep tokens -> global_adaLN_modulation2), then the
+per-segment decoder blocks condition on the per-token c_repre — the same
+architecture as fit_model_lwd_bk.py's sharedenc family, at the BFM configs
+(config_bfm.yaml:17-47 small: hidden 384 / depth 24 / K=6 / 6 rep blocks;
+config_bfm_XL.yaml:22-43: hidden 1152 / depth 30 / 20 rep blocks). Here it
+is a configuration of FiTLwDSharedEncSepDec plus the optimizer param-group
+helper the BFM trainer uses.
 """
 
 from __future__ import annotations
 
 from typing import Any, Dict, List, Tuple
 
-from fitv2_tpu.models.fit_lwd import FiTLwD
+from fitv2_tpu.models.fit_lwd_sharedenc import FiTLwDSharedEncSepDec
 
 
-def BFM(**overrides) -> FiTLwD:
-    """FiTLwD at the BFM default config (config_bfm.yaml:17-47)."""
+def BFM(**overrides) -> FiTLwDSharedEncSepDec:
+    """Shared-encoder LwD at the BFM default config (config_bfm.yaml:17-47)."""
     cfg: Dict[str, Any] = dict(
         context_size=256, patch_size=2, in_channels=4, hidden_size=384,
         depth=24, num_heads=6, num_classes=1000, learn_sigma=False,
@@ -25,7 +29,7 @@ def BFM(**overrides) -> FiTLwD:
         number_of_perflow=6, number_of_representation_blocks=6,
         repa_dim=768, n_patch_h=16, n_patch_w=16)
     cfg.update(overrides)
-    return FiTLwD(**cfg)
+    return FiTLwDSharedEncSepDec(**cfg)
 
 
 def split_decay_param_labels(params, no_decay_keywords: Tuple[str, ...] = (

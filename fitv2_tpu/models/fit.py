@@ -211,6 +211,13 @@ class FiT(nn.Module):
             # logits/AV products), so backward recomputes only elementwise —
             # highest memory, fastest backward of the remat tiers.
             return jax.checkpoint_policies.dots_saveable
+        if self.remat_policy == 'dots_offload':
+            # 'dots' savings streamed to pinned host memory instead of HBM:
+            # trades PCIe/transfer bandwidth for the saved-dots working set —
+            # the candidate for the batch>=24 HBM wall (43%-fragmented
+            # 12.85G temp, PARITY.md round-3).
+            return jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                'device', 'pinned_host')
         if self.remat_policy == 'full':
             return None  # save nothing, recompute everything
         raise ValueError(f'unknown remat_policy: {self.remat_policy!r}')

@@ -208,31 +208,40 @@ class Int8Dense(nn.Module):
                            out_dtype=self.dtype)
 
 
-def prequantize_weights(model, params, example_args):
+def prequantize_weights(model, params, example_args, method=None,
+                        rngs=None):
     """One-time weight quantization pass; returns the ``quant_weights``
     collection (int8 kernels + per-channel scales, scan-stacked where the
     model scans). Bind it at serving time together with ``params``:
         model.apply({'params': p, 'quant_weights': qw}, *args)
+
+    method/rngs are forwarded to model.apply (e.g. models whose __call__
+    trains label dropout, like FiTLwD.init_all, need a 'label_dropout' rng).
     """
     _, mut = model.apply({'params': params}, *example_args,
-                         mutable=['quant_weights'])
+                         mutable=['quant_weights'], method=method,
+                         rngs=rngs)
     return mut['quant_weights']
 
 
 def calibrate_quant_scales(model, params, apply_batches,
-                           variables_extra: Optional[Dict] = None):
+                           variables_extra: Optional[Dict] = None,
+                           method=None, rngs=None):
     """Run calibration forwards and return the ``quant_calib`` collection.
 
     apply_batches: iterable of argument-tuples for ``model.apply`` (the
     positional args after the variables dict). Returns the folded
     quant_calib tree; bind it at serving time:
         model.apply({'params': p, 'quant_calib': calib}, *args)
+
+    method/rngs are forwarded to model.apply (see prequantize_weights).
     """
     calib = {}
     for args in apply_batches:
         variables = {'params': params, **(variables_extra or {})}
         if calib:
             variables['quant_calib'] = calib
-        _, mut = model.apply(variables, *args, mutable=['quant_calib'])
+        _, mut = model.apply(variables, *args, mutable=['quant_calib'],
+                             method=method, rngs=rngs)
         calib = mut['quant_calib']
     return calib

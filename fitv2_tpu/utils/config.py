@@ -113,7 +113,9 @@ REFERENCE_TARGET_MAP = {
     'fit.model.fit_model.FiT': 'fitv2_tpu.models.fit.FiT',
     'fit.model.fit_model_lwd.FiTLwD': 'fitv2_tpu.models.fit_lwd.FiTLwD',
     'fit.model.fit_model_lwd.FiTLwD_sharedenc_sepdec':
-        'fitv2_tpu.models.fit_lwd.FiTLwD',
+        'fitv2_tpu.models.fit_lwd_sharedenc.FiTLwDSharedEncSepDec',
+    'fit.model.fit_model_lwd_bk.FiTLwD_sharedenc_sepdec':
+        'fitv2_tpu.models.fit_lwd_sharedenc.FiTLwDSharedEncSepDec',
     'fit.model.bfm.FiT': 'fitv2_tpu.models.bfm.BFM',
     'fit.data.in1k_latent_dataset.INLatentLoader':
         'fitv2_tpu.data.latent_dataset.INLatentLoader',

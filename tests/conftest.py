@@ -100,6 +100,9 @@ _SLOW_TESTS = {
     'test_losses.py': ['test_discriminator_shapes_and_grads',
                        'test_lpips_zero_for_identical_inputs'],
     'test_sequence_parallel.py': ['test_sp_train_step_grads_match'],
+    'test_bfm.py': ['test_bfm_is_sharedenc', 'test_bfm_samplers_run',
+                    'test_bfm_forward_run_layer_and_repa',
+                    'test_split_decay_param_labels'],
     'test_eval_hook.py': ['test_inline_eval_hook_preview'],
     'test_attention_viz.py': ['test_capture_and_rollout'],
 }

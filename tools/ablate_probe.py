@@ -115,7 +115,8 @@ def main():
         if variant == 'nopre':
             fqr.qk_norm_rope = qk_passthrough
 
-        impls = {'chunked': 'xla_chunked', 'core': 'pallas_core'}
+        impls = {'chunked': 'xla_chunked', 'core': 'pallas_core',
+                 'flash': 'pallas'}
         m = (model.clone(attn_impl=impls[variant]) if variant in impls
              else model)
         if variant == 'bf16quant':

@@ -62,7 +62,9 @@ def build():
         learn_sigma=False, use_sit=True, use_swiglu=True,
         q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
         adaln_lora_dim=288, custom_freqs='normal', max_cached_len=64,
-        use_checkpoint=True, remat_policy=REMAT, dtype=jnp.bfloat16)
+        use_checkpoint=(REMAT != 'none'),
+        remat_policy=REMAT if REMAT != 'none' else 'full',
+        dtype=jnp.bfloat16)
     transport = create_transport('Linear', 'velocity', snr_type='lognorm')
     tx = make_optimizer(OptimizerConfig(learning_rate=1e-4,
                                         mu_dtype=jnp.bfloat16))
