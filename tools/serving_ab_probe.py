@@ -133,11 +133,13 @@ def generate(model, params, mode_kw, labels_np, quant_collections=None):
     for bi in range(N_GEN // GEN_BATCH):
         lab = jnp.asarray(labels_np[bi * GEN_BATCH:(bi + 1) * GEN_BATCH])
         out = fn(jax.random.fold_in(jax.random.PRNGKey(7), bi), lab)
-        # latents come back (B, C, H/8, W/8) == (B, 4, 16, 16); back to
-        # tokens (B, 64, 16) for comparison with the data space
+        # latents come back (B, C, H/8, W/8) == (B, 4, 16, 16); invert
+        # model.unpatchify exactly (fit.py: token dim is (c, p, q)-ordered)
+        # back to tokens (B, 64, 16) for comparison with the data space
         arr = np.asarray(out, np.float32).transpose(0, 2, 3, 1)  # B,16,16,4
         b = arr.shape[0]
-        arr = arr.reshape(b, N_HW, 2, N_HW, 2, 4).transpose(0, 1, 3, 2, 4, 5)
+        arr = arr.reshape(b, N_HW, 2, N_HW, 2, 4)        # b,gh,p,gw,q,c
+        arr = arr.transpose(0, 1, 3, 5, 2, 4)            # b,gh,gw,c,p,q
         outs.append(arr.reshape(b, N_CTX, TOKEN_DIM))
     return np.concatenate(outs, 0)
 
