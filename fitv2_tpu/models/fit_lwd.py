@@ -323,6 +323,29 @@ class FiTLwD(nn.Module):
 
     # -- samplers -------------------------------------------------------------
 
+    def _scan_substeps(self, x: Array, sig, velocity_fn) -> Array:
+        """lax.scan the within-segment Euler sub-steps.
+
+        Sub-steps of one segment share that segment's parameters, so the
+        step body compiles ONCE per segment instead of S unrolled copies —
+        compile time scales with K, not K*S (the unrolled BFM-XL S=16
+        graph took ~18 min through the remote-compile tunnel). Bound
+        submodule calls are legal inside lax.scan at apply time (params
+        are concrete); parity with the unrolled path is pinned in
+        tests/test_lwd.py / test_lwd_sharedenc.py.
+
+        velocity_fn(x, t_scalar, t_next_scalar) -> velocity (x-shaped).
+        """
+        sig = np.asarray(sig, np.float32)
+        pairs = jnp.stack([jnp.asarray(sig[:-1]), jnp.asarray(sig[1:])], 1)
+
+        def body(xc, pair):
+            v = velocity_fn(xc, pair[0], pair[1])
+            return xc + (pair[1] - pair[0]) * v.astype(xc.dtype), None
+
+        x, _ = jax.lax.scan(body, x, pairs)
+        return x
+
     def _segment_sigma_list(self, i: int, nspf: int,
                             maruyama_last: bool = False) -> np.ndarray:
         sig = self.sigmas
@@ -350,6 +373,15 @@ class FiTLwD(nn.Module):
         for i in range(self.number_of_perflow):
             y_embed = self._emb(self.y_embedders, i)(y)
             sig = self._segment_sigma_list(i, number_of_step_perflow)
+            if not (return_intermediates or return_representations):
+                def vel(xc, t_s, t_nx_s, i=i, y_embed=y_embed):
+                    t = jnp.full((B,), t_s, jnp.float32)
+                    t_nx = jnp.full((B,), t_nx_s, jnp.float32)
+                    c, g = self._cond(i, t, y_embed)
+                    return self._segment_body(i, xc, c, mask, f_cos, f_sin,
+                                              g, t_nx)
+                x = self._scan_substeps(x, sig, vel)
+                continue
             for s in range(number_of_step_perflow):
                 t = jnp.full((B,), sig[s], jnp.float32)
                 t_nx = jnp.full((B,), sig[s + 1], jnp.float32)
@@ -383,16 +415,18 @@ class FiTLwD(nn.Module):
         for i in range(self.number_of_perflow):
             y_embed = self._emb(self.y_embedders, i)(y2)
             sig = self._segment_sigma_list(i, number_of_step_perflow)
-            for s in range(number_of_step_perflow):
-                t = jnp.full((2 * B,), sig[s], jnp.float32)
-                t_nx = jnp.full((2 * B,), sig[s + 1], jnp.float32)
+
+            def vel(xc, t_s, t_nx_s, i=i, y_embed=y_embed):
+                t = jnp.full((2 * B,), t_s, jnp.float32)
+                t_nx = jnp.full((2 * B,), t_nx_s, jnp.float32)
                 c, g = self._cond(i, t, y_embed)
-                x2 = jnp.concatenate([x, x], axis=0)
-                v = self._segment_body(i, x2, c, mask, f_cos, f_sin, g, t_nx)
-                v = v.astype(x.dtype)
+                x2 = jnp.concatenate([xc, xc], axis=0)
+                v = self._segment_body(i, x2, c, mask, f_cos, f_sin, g,
+                                       t_nx)
                 v_cond, v_uncond = jnp.split(v, 2, axis=0)
-                v = v_uncond + cfg_scale * (v_cond - v_uncond)
-                x = x + (sig[s + 1] - sig[s]) * v
+                return v_uncond + cfg_scale * (v_cond - v_uncond)
+
+            x = self._scan_substeps(x, sig, vel)
         return x
 
     def sample_maruyama_cfg(self, rng: Array, x: Array, y: Array,

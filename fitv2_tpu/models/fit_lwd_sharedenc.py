@@ -178,18 +178,30 @@ class FiTLwDSharedEncSepDec(FiTLwD):
         y2 = jnp.concatenate([y, jnp.full((B,), self.num_classes, y.dtype)])
         for i in range(self.number_of_perflow):
             sig = self._segment_sigma_list(i, number_of_step_perflow)
-            for s in range(number_of_step_perflow):
-                t_cur = float(sig[s])
-                t = jnp.full((2 * B,), t_cur, jnp.float32)
-                x2 = jnp.concatenate([x, x], axis=0)
-                v = self._segment_velocity(i, x2, t, y2, mask, f_cos,
-                                           f_sin).astype(x.dtype)
-                v_cond, v_uncond = jnp.split(v, 2, axis=0)
-                if cfg_scale > 1.0 and guidance_low <= t_cur <= guidance_high:
-                    v = v_uncond + cfg_scale * (v_cond - v_uncond)
-                else:
-                    v = v_cond
-                x = x + (sig[s + 1] - sig[s]) * v
+            # the guidance window is static (sig is a host array), so the
+            # segment's sub-steps partition into contiguous same-branch
+            # runs; each run is one scanned body (compile O(K), not O(K*S)
+            # — _scan_substeps)
+            flags = [bool(cfg_scale > 1.0
+                          and guidance_low <= float(sig[s]) <= guidance_high)
+                     for s in range(len(sig) - 1)]
+            start = 0
+            for end in range(1, len(flags) + 1):
+                if end < len(flags) and flags[end] == flags[start]:
+                    continue
+
+                def vel(xc, t_s, t_nx_s, i=i, guided=flags[start]):
+                    t = jnp.full((2 * B,), t_s, jnp.float32)
+                    x2 = jnp.concatenate([xc, xc], axis=0)
+                    v = self._segment_velocity(i, x2, t, y2, mask, f_cos,
+                                               f_sin)
+                    v_cond, v_uncond = jnp.split(v, 2, axis=0)
+                    if guided:
+                        return v_uncond + cfg_scale * (v_cond - v_uncond)
+                    return v_cond
+
+                x = self._scan_substeps(x, sig[start:end + 1], vel)
+                start = end
         return x
 
     def sample(self, x: Array, y: Array, number_of_step_perflow: int = 1,
@@ -219,6 +231,18 @@ class FiTLwDSharedEncSepDec(FiTLwD):
             ('representations', return_representations),
             ('semantics', return_semantics),
             ('hidden', return_hidden)] if on}
+        if not aux:
+            # aux-less serving path: scan the sub-steps (compile O(K))
+            for i in range(self.number_of_perflow):
+                sig = self._segment_sigma_list(i, number_of_step_perflow)
+
+                def vel(xc, t_s, t_nx_s, i=i):
+                    t = jnp.full((B,), t_s, jnp.float32)
+                    return self._segment_velocity(i, xc, t, y, mask, f_cos,
+                                                  f_sin)
+
+                x = self._scan_substeps(x, sig, vel)
+            return x
         for i in range(self.number_of_perflow):
             sig = self._segment_sigma_list(i, number_of_step_perflow)
             for s in range(number_of_step_perflow):

@@ -173,3 +173,57 @@ def test_sample_intermediates_and_representations():
     assert reps.shape == (2, 2, 16, 16)           # (K, B, N, repa_dim)
     np.testing.assert_allclose(np.asarray(inter[-1]), np.asarray(out),
                                rtol=1e-6)
+
+
+def test_sample_scan_matches_unrolled():
+    """The scanned within-segment sub-step path (FiTLwD._scan_substeps)
+    must produce the same trajectory as the unrolled aux path — same math,
+    one compiled body per segment instead of S copies."""
+    model = _model()
+    params, (x, t, y, grid, mask, size) = _init(model)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for k, l in zip(keys, leaves)])
+    z = jax.random.normal(jax.random.PRNGKey(3),
+                          (2, model.context_size, 16))
+    out_scan = model.apply({'params': params}, z, y, 3, method=model.sample)
+    out_unrolled, inter = model.apply(
+        {'params': params}, z, y, 3, True, method=model.sample)
+    np.testing.assert_allclose(np.asarray(out_scan),
+                               np.asarray(out_unrolled), rtol=2e-5,
+                               atol=2e-5)
+
+    # sample_cfg scan parity vs a hand-rolled unrolled loop over the same
+    # segment velocities
+    cfgs = 1.4
+    out_cfg = model.apply({'params': params}, z, y, cfgs, 3,
+                          method=model.sample_cfg)
+
+    def manual(mod, z0, y, S):
+        B = z0.shape[0]
+        from fitv2_tpu.models.grid_utils import make_grid_mask_size
+        grid, mask, size = make_grid_mask_size(
+            2 * B, mod.n_patch_h, mod.n_patch_w, mod.context_size)
+        f_cos, f_sin = mod._rope(grid, size)
+        y2 = jnp.concatenate([y, jnp.full((B,), mod.num_classes, y.dtype)])
+        xx = z0
+        for i in range(mod.number_of_perflow):
+            y_embed = mod._emb(mod.y_embedders, i)(y2)
+            sig = mod._segment_sigma_list(i, S)
+            for s in range(S):
+                tv = jnp.full((2 * B,), float(sig[s]), jnp.float32)
+                tn = jnp.full((2 * B,), float(sig[s + 1]), jnp.float32)
+                c, g = mod._cond(i, tv, y_embed)
+                x2 = jnp.concatenate([xx, xx], axis=0)
+                v = mod._segment_body(i, x2, c, mask, f_cos, f_sin, g, tn)
+                vc, vu = jnp.split(v, 2, axis=0)
+                v = vu + cfgs * (vc - vu)
+                xx = xx + (float(sig[s + 1]) - float(sig[s])) \
+                    * v.astype(xx.dtype)
+        return xx
+
+    ref = model.apply({'params': params}, z, y, 3, method=manual)
+    np.testing.assert_allclose(np.asarray(out_cfg), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

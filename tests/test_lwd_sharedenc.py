@@ -158,3 +158,54 @@ def test_forward_run_layer_finetune_modes(mode):
     total = sum(float(jnp.abs(l).sum())
                 for l in jax.tree_util.tree_leaves(g2['mid_blocks']))
     assert np.isfinite(total)
+
+
+def test_sharedenc_scan_matches_unrolled():
+    """Scanned sub-steps (sample aux-less path, windowed sample_cfg runs)
+    match the unrolled math bit-for-tolerance."""
+    model = _model()
+    params, (x, t, y, grid, mask, size) = _init(model)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for k, l in zip(keys, leaves)])
+    z = jax.random.normal(jax.random.PRNGKey(3),
+                          (2, model.context_size, 16))
+    out_scan = model.apply({'params': params}, z, y, 3, method=model.sample)
+    out_unrolled = model.apply({'params': params}, z, y, 3, True,
+                               method=model.sample)[0]
+    np.testing.assert_allclose(np.asarray(out_scan),
+                               np.asarray(out_unrolled), rtol=2e-5,
+                               atol=2e-5)
+
+    # windowed sample_cfg: runs partition at the window edges; compare vs
+    # a hand-rolled per-step loop with the same static branch
+    lo, hi, cfgs, S = 0.3, 0.9, 1.4, 4
+    out_cfg = model.apply({'params': params}, z, y, cfgs, S,
+                          guidance_low=lo, guidance_high=hi,
+                          method=model.sample_cfg)
+
+    def manual(mod, z0, y, S):
+        B = z0.shape[0]
+        from fitv2_tpu.models.grid_utils import make_grid_mask_size
+        grid, mask, size = make_grid_mask_size(
+            2 * B, mod.n_patch_h, mod.n_patch_w, mod.context_size)
+        f_cos, f_sin = mod._rope(grid, size)
+        y2 = jnp.concatenate([y, jnp.full((B,), mod.num_classes, y.dtype)])
+        xx = z0
+        for i in range(mod.number_of_perflow):
+            sig = mod._segment_sigma_list(i, S)
+            for s in range(S):
+                t_cur = float(sig[s])
+                tv = jnp.full((2 * B,), t_cur, jnp.float32)
+                x2 = jnp.concatenate([xx, xx], axis=0)
+                v = mod._segment_velocity(i, x2, tv, y2, mask, f_cos, f_sin)
+                vc, vu = jnp.split(v, 2, axis=0)
+                v = vu + cfgs * (vc - vu) if lo <= t_cur <= hi else vc
+                xx = xx + (float(sig[s + 1]) - t_cur) * v.astype(xx.dtype)
+        return xx
+
+    ref = model.apply({'params': params}, z, y, S, method=manual)
+    np.testing.assert_allclose(np.asarray(out_cfg), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
