@@ -85,7 +85,10 @@ def build_model(precision='bf16'):
                dtype=jnp.bfloat16, gemm_precision=precision)
 
 
-def train(centers, steps):
+def train(centers, steps, snr_type='uniform'):
+    """uniform t-sampling (not the production lognorm): mode SELECTION
+    happens at small t, and lognorm's mass concentration near mid-t starves
+    exactly the region this probe needs the conditional field to learn."""
     from fitv2_tpu.flow import create_transport
     from fitv2_tpu.models.grid_utils import make_grid_mask_size
     from fitv2_tpu.train import (OptimizerConfig, create_train_state,
@@ -101,7 +104,7 @@ def train(centers, steps):
     params = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         params)
-    transport = create_transport('Linear', 'velocity', snr_type='lognorm')
+    transport = create_transport('Linear', 'velocity', snr_type=snr_type)
     tx = make_optimizer(OptimizerConfig(learning_rate=1e-3))
     state = create_train_state(params, tx)
     step_fn = jax.jit(make_train_step(model, transport, tx, ema_decay=0.999),
@@ -122,9 +125,11 @@ def train(centers, steps):
 
 def generate(model, params, mode_kw, labels_np, quant_collections=None):
     from fitv2_tpu.sample import SamplingConfig, build_sampler
+    mode_kw = dict(mode_kw)
+    cfg_scale = mode_kw.pop('cfg_scale', CFG)
     cfg = SamplingConfig(
         image_height=N_HW * 2 * 8, image_width=N_HW * 2 * 8,  # 8x8 tokens
-        num_sampling_steps=SAMPLE_STEPS, cfg_scale=CFG,
+        num_sampling_steps=SAMPLE_STEPS, cfg_scale=cfg_scale,
         num_classes=N_CLASSES, per_device_batch=GEN_BATCH,
         dtype=jnp.bfloat16, **mode_kw)
     fn = build_sampler(model, params, cfg,
@@ -157,7 +162,8 @@ def random_mlp_features(x, dim=256, seed=123):
 
 
 def mode_stats(x, labels, centers):
-    """Nearest-center assignment -> coverage / conditional accuracy / chi2."""
+    """Nearest-center assignment -> coverage / conditional accuracy / chi2
+    / mean nearest-center distance (vs the in-mode noise radius ~3.2)."""
     flat_c = centers.reshape(N_CLASSES * N_MODES, -1)
     d = (np.sum(x.reshape(len(x), -1) ** 2, 1, keepdims=True)
          - 2 * x.reshape(len(x), -1) @ flat_c.T
@@ -169,7 +175,8 @@ def mode_stats(x, labels, centers):
     hist = np.bincount(assign, minlength=N_CLASSES * N_MODES)
     expect = len(x) / (N_CLASSES * N_MODES)
     chi2 = float(((hist - expect) ** 2 / expect).sum())
-    return coverage, cond_acc, chi2
+    ncd = float(np.sqrt(np.maximum(d.min(1), 0.0)).mean())
+    return coverage, cond_acc, chi2, ncd
 
 
 def main():
@@ -200,6 +207,7 @@ def main():
 
     modes = [
         ('dense_bf16', model, {}, None),
+        ('bf16_nocfg', model, {'cfg_scale': 1.0}, None),
         ('int8', mq, {}, coll),
         ('int8_interval', mq, {'guidance_low': 0.3, 'guidance_high': 0.9},
          coll),
@@ -220,26 +228,28 @@ def main():
                                       x.reshape(N_GEN, -1))
         mlp_fd = fid_from_activations(random_mlp_features(real),
                                       random_mlp_features(x))
-        cov, acc, chi2 = mode_stats(x, labels, centers)
+        cov, acc, chi2, ncd = mode_stats(x, labels, centers)
         results[name] = dict(raw_fd=round(float(raw_fd), 4),
                              mlp_fd=round(float(mlp_fd), 4),
                              coverage=round(cov, 4),
-                             cond_acc=round(acc, 4), chi2=round(chi2, 1))
+                             cond_acc=round(acc, 4), chi2=round(chi2, 1),
+                             nearest_center_dist=round(ncd, 2))
         if base is None:
             base = results[name]
         print(f'{name:14s}: raw-FD {raw_fd:8.4f}  mlp-FD {mlp_fd:8.4f}  '
               f'coverage {cov:.3f}  cond-acc {acc:.3f}  chi2 {chi2:8.1f}  '
-              f'({time.time()-t0:.0f}s)', flush=True)
+              f'ncd {ncd:6.2f}  ({time.time()-t0:.0f}s)', flush=True)
     # real-vs-real floor (sampling noise of the metric itself)
     real2, _ = draw_real(centers, N_GEN, seed=555)
     floor_raw = fid_from_activations(real.reshape(N_GEN, -1),
                                      real2.reshape(N_GEN, -1))
     floor_mlp = fid_from_activations(random_mlp_features(real),
                                      random_mlp_features(real2))
-    cov_r, acc_r, chi2_r = mode_stats(real2, _, centers)
+    cov_r, acc_r, chi2_r, ncd_r = mode_stats(real2, _, centers)
     print(f'{"real-vs-real":14s}: raw-FD {floor_raw:8.4f}  '
           f'mlp-FD {floor_mlp:8.4f}  coverage {cov_r:.3f}  '
-          f'cond-acc {acc_r:.3f}  chi2 {chi2_r:8.1f}', flush=True)
+          f'cond-acc {acc_r:.3f}  chi2 {chi2_r:8.1f}  ncd {ncd_r:6.2f}',
+          flush=True)
     results['real_floor'] = dict(raw_fd=round(float(floor_raw), 4),
                                  mlp_fd=round(float(floor_mlp), 4),
                                  coverage=round(cov_r, 4),
