@@ -16,6 +16,7 @@ a mesh; shardings come from fitv2_tpu.parallel.mesh.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -82,7 +83,25 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 
 def update_ema(ema_params, params, decay: float = 0.9999):
-    """ema <- decay*ema + (1-decay)*p (reference fit/utils/utils.py:96-110)."""
+    """ema <- decay*ema + (1-decay)*p (reference fit/utils/utils.py:96-110).
+
+    ema_params must be float32: in bf16 the per-step increment
+    (1-decay)*(p-ema) falls below the ~2^-8 relative precision, so the EMA
+    silently never moves off its initial value while the training loss
+    converges normally. Checked at trace time below.
+    """
+    for leaf in jax.tree_util.tree_leaves(ema_params):
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            continue
+        eps = float(jnp.finfo(leaf.dtype).eps)
+        if eps > (1.0 - decay):
+            warnings.warn(
+                f'update_ema: EMA dtype {leaf.dtype} has machine eps '
+                f'{eps:.1e} > 1-decay {1.0 - decay:.1e}; the EMA update '
+                'underflows and ema_params stays frozen at its initial '
+                'value. Keep EMA (and params) in float32.',
+                stacklevel=2)
+            break
     return jax.tree_util.tree_map(
         lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
         ema_params, params)

@@ -76,6 +76,27 @@ def test_ema_decay():
     np.testing.assert_allclose(np.asarray(out['w']), 0.1, rtol=1e-6)
 
 
+def test_ema_bf16_underflow_warns():
+    """decay=0.9999 in a bf16 EMA underflows: (1-decay)*(p-ema) is below
+    bf16's ~2^-8 relative precision, so the EMA freezes at init while the
+    train loss converges — the failure mode that invalidated a whole probe
+    run. update_ema must warn at trace time and fp32 must stay exact."""
+    p = {'w': jnp.full((4,), 2.0, jnp.bfloat16)}
+    e = {'w': jnp.ones((4,), jnp.bfloat16)}
+    with pytest.warns(UserWarning, match='underflows'):
+        out = update_ema(e, p, decay=0.9999)
+    # the numerical symptom the warning is about: no movement at all
+    assert np.all(np.asarray(out['w']) == np.asarray(e['w']))
+    # fp32 EMA moves and no warning fires
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('error')
+        out32 = update_ema({'w': jnp.ones((4,), jnp.float32)},
+                           {'w': jnp.full((4,), 2.0, jnp.float32)},
+                           decay=0.9999)
+    np.testing.assert_allclose(np.asarray(out32['w']), 1.0001, rtol=1e-6)
+
+
 def test_grad_accum_multisteps():
     model = _tiny_model()
     batch = _batch()

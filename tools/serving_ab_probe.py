@@ -48,16 +48,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N_CLASSES = 8
-N_MODES = 4          # per class
-N_CTX, N_HW = 64, 8  # 8x8 token grid
+def _env(name, default, cast=int):
+    return cast(_os.environ.get(name, default))
+
+
+N_CLASSES = _env('SAB_CLASSES', 8)
+N_MODES = _env('SAB_MODES', 4)           # per class
+N_HW = _env('SAB_NHW', 8)                # token grid side
+N_CTX = N_HW * N_HW
 TOKEN_DIM = 16
-NOISE = 0.1
-BATCH = 256
-GEN_BATCH = 256
-N_GEN = 2048
-SAMPLE_STEPS = 100
-CFG = 1.5
+NOISE = _env('SAB_NOISE', 0.1, float)
+BATCH = _env('SAB_BATCH', 256)
+GEN_BATCH = BATCH
+N_GEN = _env('SAB_NGEN', 2048)
+SAMPLE_STEPS = _env('SAB_STEPS', 100)
+CFG = _env('SAB_CFG', 1.5, float)
 
 
 def mode_centers(seed=0):
@@ -85,10 +90,10 @@ def build_model(precision='bf16'):
                dtype=jnp.bfloat16, gemm_precision=precision)
 
 
-def train(centers, steps, snr_type='uniform'):
-    """uniform t-sampling (not the production lognorm): mode SELECTION
-    happens at small t, and lognorm's mass concentration near mid-t starves
-    exactly the region this probe needs the conditional field to learn."""
+def train(centers, steps, snr_type=None):
+    """Trains with the production lognorm t-sampling by default
+    (SAB_SNR=uniform to override)."""
+    snr_type = snr_type or _os.environ.get('SAB_SNR', 'lognorm')
     from fitv2_tpu.flow import create_transport
     from fitv2_tpu.models.grid_utils import make_grid_mask_size
     from fitv2_tpu.train import (OptimizerConfig, create_train_state,
@@ -101,9 +106,10 @@ def train(centers, steps, snr_type='uniform'):
         jnp.zeros((1, N_CTX, TOKEN_DIM)), jnp.zeros((1,)),
         jnp.zeros((1,), jnp.int32), grid[:1], mask[:1], size[:1],
         train=True)['params']
-    params = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
-        params)
+    # Params stay fp32 (model dtype=bf16 casts for compute). A bf16 cast
+    # here silently breaks EMA: (1-0.999)*(p-ema) underflows bf16's ~2^-8
+    # relative precision, so ema_params never leaves init — the sampler
+    # then runs on random weights while the train loss looks converged.
     transport = create_transport('Linear', 'velocity', snr_type=snr_type)
     tx = make_optimizer(OptimizerConfig(learning_rate=1e-3))
     state = create_train_state(params, tx)
