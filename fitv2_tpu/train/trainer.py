@@ -96,6 +96,15 @@ class TrainerConfig:
     # parity; accelerate.save_state blocks). The device->host gather still
     # happens inline; only the serialisation/write is deferred.
     async_checkpointing: bool = False
+    # Preemption-safe exit (beyond reference; TPU VMs are commonly
+    # preemptible/spot): on SIGTERM/SIGINT finish the in-flight step,
+    # agree across processes, write a checkpoint at the interrupted step,
+    # and return — instead of losing everything since the last cadence
+    # save (the reference's only protection, train_fitv2.py:478-511).
+    # A second signal exits immediately (handlers are restored after the
+    # first). Multi-process: the flag is all-gathered so every process
+    # enters the collective orbax save together, whichever host was hit.
+    handle_preemption: bool = True
     log_every: int = 100
 
 
@@ -242,6 +251,17 @@ class Trainer:
             return multihost_utils.process_allgather(state, tiled=True)
         return jax.tree_util.tree_map(np.asarray, state)
 
+    @staticmethod
+    def _agree_preemption(flag: bool) -> bool:
+        """True when ANY process saw a preemption signal. Collective in
+        multi-process (every process calls it once per step, so the
+        all-gathers stay aligned); a plain flag read single-process."""
+        if jax.process_count() == 1:
+            return flag
+        from jax.experimental import multihost_utils
+        return bool(np.any(multihost_utils.process_allgather(
+            np.asarray([flag]))))
+
     # -- loop -------------------------------------------------------------------
 
     def train(self, max_steps: Optional[int] = None,
@@ -284,32 +304,75 @@ class Trainer:
                 {k: jnp.asarray(v) for k, v in batch_np.items()}, bsh)
             return jitted(state, batch, rng)
 
-        state, metrics = run_one(first, state)
-        step = resume_step + 1
-        for batch_np in it:
-            state, metrics = run_one(batch_np, state)
-            step += 1
-            if step % cfg.log_every == 0:
-                # vector-valued entries (ddpm per_t_loss/t feeding the
-                # importance resampler) are not loggable scalars
-                m = {k: float(v) for k, v in metrics.items()
-                     if getattr(v, 'ndim', 0) == 0}
-                m['steps_per_sec'] = cfg.log_every / max(
-                    time.time() - t0, 1e-9)
-                t0 = time.time()
-                if is_main_process():
-                    logger.info('step %d: %s', step, json.dumps(m))
-                if metric_hook:
-                    metric_hook(step, m)
-            if step % cfg.checkpointing_steps == 0 or step >= max_steps:
-                host_state = self._host_state(state)
-                # EVERY process calls save: orbax's save is a collective
-                # (internal barriers) and elects the writer itself — a
-                # rank0-only call deadlocks on a real pod
-                # (tests/test_multiprocess.py)
-                self.ckpt.save(step, host_state)
-            if step >= max_steps:
-                break
+        # preemption handling: catch the FIRST SIGTERM/SIGINT, finish the
+        # in-flight step, checkpoint, return; restore default handlers so
+        # a second signal exits immediately (see TrainerConfig docstring)
+        preempt = {'sig': None}
+        installed = {}
+        if cfg.handle_preemption:
+            import signal
+
+            def _restore_handlers():
+                for s, h in list(installed.items()):
+                    try:
+                        signal.signal(s, h)
+                    except (ValueError, OSError):
+                        pass
+                installed.clear()
+
+            def _on_signal(signum, frame):
+                preempt['sig'] = signum
+                _restore_handlers()
+                logger.warning(
+                    'signal %d: writing a checkpoint after the current '
+                    'step, then exiting (send again to exit now)', signum)
+
+            try:
+                for s in (signal.SIGTERM, signal.SIGINT):
+                    installed[s] = signal.signal(s, _on_signal)
+            except ValueError:  # not the main thread: no handlers
+                _restore_handlers()
+
+        try:
+            state, metrics = run_one(first, state)
+            step = resume_step + 1
+            for batch_np in it:
+                state, metrics = run_one(batch_np, state)
+                step += 1
+                if step % cfg.log_every == 0:
+                    # vector-valued entries (ddpm per_t_loss/t feeding the
+                    # importance resampler) are not loggable scalars
+                    m = {k: float(v) for k, v in metrics.items()
+                         if getattr(v, 'ndim', 0) == 0}
+                    m['steps_per_sec'] = cfg.log_every / max(
+                        time.time() - t0, 1e-9)
+                    t0 = time.time()
+                    if is_main_process():
+                        logger.info('step %d: %s', step, json.dumps(m))
+                    if metric_hook:
+                        metric_hook(step, m)
+                preempted = cfg.handle_preemption and self._agree_preemption(
+                    preempt['sig'] is not None)
+                if (step % cfg.checkpointing_steps == 0 or step >= max_steps
+                        or preempted):
+                    host_state = self._host_state(state)
+                    # EVERY process calls save: orbax's save is a collective
+                    # (internal barriers) and elects the writer itself — a
+                    # rank0-only call deadlocks on a real pod
+                    # (tests/test_multiprocess.py)
+                    self.ckpt.save(step, host_state)
+                if preempted:
+                    if self.cfg.async_checkpointing:
+                        self.ckpt.wait()
+                    logger.warning(
+                        'preemption checkpoint written at step %d; '
+                        'exiting the train loop', step)
+                    break
+                if step >= max_steps:
+                    break
+        finally:
+            if installed:
+                _restore_handlers()
         if self.cfg.async_checkpointing and is_main_process():
             self.ckpt.wait()
         return state

@@ -88,6 +88,46 @@ def test_trainer_came_optimizer(tmp_path):
     assert all(np.isfinite(m['loss']) for m in metrics)
 
 
+def test_trainer_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-training finishes the in-flight step, writes a
+    checkpoint at that step, and exits the loop; a fresh trainer resumes
+    from it. Beyond reference: the reference only survives preemption via
+    its last cadence save (train_fitv2.py:478-511), losing up to
+    checkpointing_steps-1 steps of work on spot/preemptible VMs."""
+    import signal
+
+    data_dir = str(tmp_path / 'data')
+    out_dir = str(tmp_path / 'run')
+    make_synthetic_latent_shards(data_dir, n=16, target_len=16, n_classes=10)
+    cfg = TrainerConfig(
+        data_path=data_dir, target_len=16, global_batch_size=8,
+        num_workers=2, max_steps=50, learning_rate=1e-3,
+        lr_schedule='constant', output_dir=out_dir,
+        checkpointing_steps=1000, log_every=1, seed=0,
+        mesh_data=-1, mesh_fsdp=1, mesh_tensor=1)
+
+    def hook(s, m):
+        if s == 4:  # delivered before the next loop iteration's check
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    tr = Trainer(_tiny_model(), cfg)
+    state = tr.train(max_steps=50, resume=False, metric_hook=hook)
+    stopped = int(state.step)
+    assert 4 <= stopped <= 5, stopped  # exited right after the signal
+    ckpts = os.listdir(os.path.join(out_dir, 'checkpoints'))
+    assert f'checkpoint-{stopped}' in ckpts, ckpts
+    # handlers were restored: a SIGTERM now would kill the process, so the
+    # trainer's handler must be gone
+    h = signal.getsignal(signal.SIGTERM)
+    assert getattr(h, '__qualname__', '') != (
+        'Trainer.train.<locals>._on_signal'), h
+
+    # a fresh trainer resumes from the preemption checkpoint
+    tr2 = Trainer(_tiny_model(), cfg)
+    state2 = tr2.train(max_steps=stopped + 2, resume=True)
+    assert int(state2.step) == stopped + 2
+
+
 def test_trainer_pipeline_parallel(tmp_path, eight_devices):
     """mesh_stage=4 runs the GPipe pipelined train step through the full
     Trainer loop (parallel/pipeline.py) and the per-step losses match the
