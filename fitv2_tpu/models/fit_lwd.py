@@ -337,6 +337,13 @@ class FiTLwD(nn.Module):
         velocity_fn(x, t_scalar, t_next_scalar) -> velocity (x-shaped).
         """
         sig = np.asarray(sig, np.float32)
+        if self.is_initializing():
+            # init-time (model.init(method=sample)): params are CREATED by
+            # the body, a side effect lax.scan forbids (UnexpectedTracer).
+            # One unrolled sub-step creates this segment's params and
+            # preserves the shape flow; sub-steps share those params.
+            v = velocity_fn(x, sig[0], sig[1])
+            return x + (sig[1] - sig[0]) * v.astype(x.dtype)
         pairs = jnp.stack([jnp.asarray(sig[:-1]), jnp.asarray(sig[1:])], 1)
 
         def body(xc, pair):
