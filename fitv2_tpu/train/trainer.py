@@ -304,7 +304,7 @@ class Trainer:
                 {k: jnp.asarray(v) for k, v in batch_np.items()}, bsh)
             return jitted(state, batch, rng)
 
-        # preemption handling: catch the FIRST SIGTERM/SIGINT, finish the
+        # preemption handling: catch the first SIGTERM/SIGINT, finish the
         # in-flight step, checkpoint, return; restore default handlers so
         # a second signal exits immediately (see TrainerConfig docstring)
         preempt = {'sig': None}

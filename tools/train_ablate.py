@@ -16,7 +16,12 @@ the tunnel runtime's per-dispatch artifacts) with components ablated:
   nopre     noattn + qk_norm_rope passthrough
 
 Run (TPU): python tools/train_ablate.py [variants...]
-Env: TRAIN_ABLATE_BATCH (default 16), TRAIN_ABLATE_REMAT (default dots).
+Env: TRAIN_ABLATE_BATCH (default 16), TRAIN_ABLATE_REMAT (default dots),
+TRAIN_ABLATE_DTYPE (default fp32 = the production Trainer state: fp32
+params/nu/EMA with bf16 mu; 'bf16' casts params to bf16 before
+create_train_state — the lighter all-bf16 state earlier rounds measured,
+which also freezes the EMA: decay 0.9999 underflows bf16, see
+train/train_step.py update_ema).
 
 Useful-FLOP MFU convention: 3x forward GEMM+attention FLOPs per step
 (fwd + 2x bwd; remat recompute is overhead, not useful work).
@@ -47,6 +52,7 @@ import numpy as np
 
 BATCH = int(_os.environ.get('TRAIN_ABLATE_BATCH', '16'))
 REMAT = _os.environ.get('TRAIN_ABLATE_REMAT', 'dots')
+STATE_DTYPE = _os.environ.get('TRAIN_ABLATE_DTYPE', 'fp32')
 PEAK_TFLOPS = 197.0  # v5e bf16
 
 
@@ -83,16 +89,23 @@ def build():
                                             (BATCH, 1, 2)), jnp.int32),
     }
     rng = jax.random.PRNGKey(0)
-    params = jax.jit(functools.partial(model.init, train=True))(
-        {'params': rng, 'label_dropout': rng}, batch['feature'][:1],
-        jnp.zeros((1,)), batch['label'][:1], batch['grid'][:1],
-        batch['mask'][:1], batch['size'][:1])['params']
-    params = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
-        params)
-    from fitv2_tpu.train.train_step import create_train_state
-    state0 = create_train_state(params, tx)
-    return model, transport, tx, state0, batch, rng
+
+    def make_state():
+        """Fresh device state per variant: scan_time DONATES the state
+        (matching the Trainer), which consumes the previous one."""
+        p = jax.jit(functools.partial(model.init, train=True))(
+            {'params': rng, 'label_dropout': rng}, batch['feature'][:1],
+            jnp.zeros((1,)), batch['label'][:1], batch['grid'][:1],
+            batch['mask'][:1], batch['size'][:1])['params']
+        if STATE_DTYPE == 'bf16':
+            # NOT the production config: all-bf16 train state (halves
+            # optimizer/EMA traffic, freezes the EMA — see module docstring)
+            p = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
+                else x, p)
+        return create_train_state(p, tx)
+
+    return model, transport, tx, make_state, batch, rng
 
 
 def make_step(model, transport, tx, mode):
@@ -135,23 +148,34 @@ def make_step(model, transport, tx, mode):
 
 
 def scan_time(step_fn, state0, batch, rng, l1=4, l2=16):
+    """Donates the state into each jitted scan (the real Trainer's
+    donate_argnums=(0,)) so only ONE state copy is resident — without it
+    the harness holds input+output copies and OOMs the fp32 state at
+    batch 16 while the actual (donating) train step fits. The evolving
+    state is threaded call-to-call since donation consumes the argument."""
     def make(length):
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=0)
         def run_k(state):
             def body(state, i):
                 new_state, loss = step_fn(state, batch,
                                           jax.random.fold_in(rng, i))
                 return new_state, loss
-            _, losses = jax.lax.scan(body, state, jnp.arange(length))
-            return losses[-1]
+            state, losses = jax.lax.scan(body, state, jnp.arange(length))
+            return state, losses[-1]
         return run_k
 
     f1, f2 = make(l1), make(l2)
-    for f in (f1, f2):
-        jax.block_until_ready(f(state0))
-    t0 = time.perf_counter(); jax.block_until_ready(f1(state0))
+    state = state0
+    for f in (f1, f2):  # compile + warm
+        state, loss = f(state)
+        jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    state, loss = f1(state)
+    jax.block_until_ready((state, loss))
     t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); jax.block_until_ready(f2(state0))
+    t0 = time.perf_counter()
+    state, loss = f2(state)
+    jax.block_until_ready((state, loss))
     t2 = time.perf_counter() - t0
     return (t2 - t1) / (l2 - l1)
 
@@ -159,12 +183,13 @@ def scan_time(step_fn, state0, batch, rng, l1=4, l2=16):
 def main():
     variants = sys.argv[1:] or ['full', 'gradonly', 'fwdonly', 'noattn',
                                 'nopre']
-    print(f'backend: {jax.devices()}  batch={BATCH} remat={REMAT}',
+    print(f'backend: {jax.devices()}  batch={BATCH} remat={REMAT} '
+          f'state={STATE_DTYPE}',
           flush=True)
     import fitv2_tpu.models.modules as modules
     import fitv2_tpu.ops.fused_qk_rope as fqr
 
-    model, transport, tx, state0, batch, rng = build()
+    model, transport, tx, make_state, batch, rng = build()
     orig_attn = modules.masked_attention
     orig_qk = fqr.qk_norm_rope
 
@@ -187,7 +212,7 @@ def main():
         step_fn = make_step(model, transport, tx, mode)
         print(f'compiling {variant}...', flush=True)
         try:
-            dt = scan_time(step_fn, state0, batch, rng)
+            dt = scan_time(step_fn, make_state(), batch, rng)
         except Exception as e:
             print(f'{variant}: FAILED {type(e).__name__}: '
                   f'{str(e).splitlines()[0][:160]}', flush=True)
