@@ -63,6 +63,12 @@ GEN_BATCH = BATCH
 N_GEN = _env('SAB_NGEN', 2048)
 SAMPLE_STEPS = _env('SAB_STEPS', 100)
 CFG = _env('SAB_CFG', 1.5, float)
+# 'fm' (FiTv2 flow-matching through sample/pipeline — the default) or
+# 'lwd' (FiTLwD segment flows: reflow training via train/lwd_train_step,
+# per-segment samplers, int8 + Maruyama-window serving modes)
+FAMILY = _os.environ.get('SAB_FAMILY', 'fm')
+K_LWD = _env('SAB_K', 3)      # perflow segments
+S_LWD = _env('SAB_S', 8)      # Euler sub-steps per segment
 
 
 def mode_centers(seed=0):
@@ -155,6 +161,76 @@ def generate(model, params, mode_kw, labels_np, quant_collections=None):
     return np.concatenate(outs, 0)
 
 
+def build_lwd(precision='bf16'):
+    from fitv2_tpu.models.fit_lwd import FiTLwD
+    return FiTLwD(context_size=N_CTX, patch_size=2, in_channels=4,
+                  hidden_size=256, depth=6, num_heads=4,
+                  num_classes=N_CLASSES, class_dropout_prob=0.1,
+                  number_of_perflow=K_LWD, n_patch_h=N_HW, n_patch_w=N_HW,
+                  adaln_type='lora', adaln_lora_dim=64, max_cached_len=16,
+                  dtype=jnp.bfloat16, gemm_precision=precision)
+
+
+def train_lwd(centers, steps):
+    """Reflow segment training (train/lwd_train_step.py) on the toy
+    distribution — the LwD production loop, one random segment per step."""
+    from fitv2_tpu.models.grid_utils import make_grid_mask_size
+    from fitv2_tpu.train import (OptimizerConfig, create_train_state,
+                                 make_optimizer)
+    from fitv2_tpu.train.lwd_train_step import (SegmentSampler,
+                                                make_lwd_train_step)
+    model = build_lwd()
+    grid, mask, size = make_grid_mask_size(BATCH, N_HW, N_HW, N_CTX)
+    params = model.init(
+        {'params': jax.random.PRNGKey(1),
+         'label_dropout': jax.random.PRNGKey(2)},
+        jnp.zeros((1, N_CTX, TOKEN_DIM)), jnp.zeros((1,)),
+        jnp.zeros((1,), jnp.int32), grid[:1], mask[:1], size[:1])['params']
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-3))
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(make_lwd_train_step(model, tx, ema_decay=0.999),
+                      static_argnums=3, donate_argnums=0)
+    seg = SegmentSampler(K_LWD, seed=0)
+    rng = jax.random.PRNGKey(5)
+    t0 = time.time()
+    for i in range(steps):
+        x, y = draw_real(centers, BATCH, seed=1000 + i)
+        batch = {'feature': jnp.asarray(x), 'grid': grid, 'mask': mask,
+                 'label': jnp.asarray(y), 'size': size}
+        rng, sub = jax.random.split(rng)
+        state, m = step_fn(state, batch, sub, seg())
+        if i % 500 == 0 or i == steps - 1:
+            print(f'train {i}: loss {float(m["loss"]):.4f} '
+                  f'({time.time()-t0:.0f}s)', flush=True)
+    return build_lwd(), state.ema_params
+
+
+def generate_lwd(model, params, mode, labels_np, coll=None):
+    """Per-segment samplers; LwD works in token space directly."""
+    variables = {'params': params, **(coll or {})}
+
+    if mode == 'plain':
+        fn = jax.jit(lambda z, y: model.apply(
+            variables, z, y, S_LWD, method=model.sample))
+    elif mode == 'cfg':
+        fn = jax.jit(lambda z, y: model.apply(
+            variables, z, y, CFG, S_LWD, method=model.sample_cfg))
+    elif mode == 'maruyama_win':
+        fn = jax.jit(lambda z, y: model.apply(
+            variables, jax.random.PRNGKey(13), z, y, CFG, S_LWD,
+            guidance_low=0.3, guidance_high=0.9,
+            method=model.sample_maruyama_cfg))
+    else:
+        raise ValueError(mode)
+    outs = []
+    for bi in range(N_GEN // GEN_BATCH):
+        lab = jnp.asarray(labels_np[bi * GEN_BATCH:(bi + 1) * GEN_BATCH])
+        z = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(7), bi),
+                              (GEN_BATCH, N_CTX, TOKEN_DIM))
+        outs.append(np.asarray(fn(z, lab), np.float32))
+    return np.concatenate(outs, 0)
+
+
 def random_mlp_features(x, dim=256, seed=123):
     """Fixed random 2-layer tanh MLP — a frozen discriminative embedding
     for Frechet statistics (VERDICT r3 #6's suggestion, minus the
@@ -185,9 +261,70 @@ def mode_stats(x, labels, centers):
     return coverage, cond_acc, chi2, ncd
 
 
+def _score(name, x, real, labels, centers, t0):
+    from fitv2_tpu.eval.statistics import fid_from_activations
+    n = len(x)
+    raw_fd = fid_from_activations(real.reshape(n, -1), x.reshape(n, -1))
+    mlp_fd = fid_from_activations(random_mlp_features(real),
+                                  random_mlp_features(x))
+    cov, acc, chi2, ncd = mode_stats(x, labels, centers)
+    print(f'{name:14s}: raw-FD {raw_fd:8.4f}  mlp-FD {mlp_fd:8.4f}  '
+          f'coverage {cov:.3f}  cond-acc {acc:.3f}  chi2 {chi2:8.1f}  '
+          f'ncd {ncd:6.2f}  ({time.time()-t0:.0f}s)', flush=True)
+    return dict(raw_fd=round(float(raw_fd), 4),
+                mlp_fd=round(float(mlp_fd), 4), coverage=round(cov, 4),
+                cond_acc=round(acc, 4), chi2=round(chi2, 1),
+                nearest_center_dist=round(ncd, 2))
+
+
+def main_lwd(steps):
+    """LwD-family serving A/B: reflow-trained segment flows, sampled via
+    the per-segment CFG/plain/Maruyama-window paths, dense bf16 vs int8."""
+    centers = mode_centers()
+    model, ema = train_lwd(centers, steps)
+
+    from fitv2_tpu.models.grid_utils import make_grid_mask_size
+    from fitv2_tpu.ops.quant import (calibrate_quant_scales,
+                                     prequantize_weights)
+    mq = build_lwd('int8')
+    grid, mask, size = make_grid_mask_size(2 * GEN_BATCH, N_HW, N_HW, N_CTX)
+    xc, yc_np = draw_real(centers, 2 * GEN_BATCH, seed=4242)
+    cal = [(jnp.asarray(xc) * s, jnp.full((2 * GEN_BATCH,), t, jnp.float32),
+            jnp.asarray(yc_np), grid, mask, size)
+           for s, t in ((1.0, 0.1), (0.8, 0.5), (0.7, 0.9))]
+    rngs = {'label_dropout': jax.random.PRNGKey(21)}
+    coll = {'quant_calib': calibrate_quant_scales(mq, ema, cal, rngs=rngs),
+            'quant_weights': prequantize_weights(mq, ema, cal[0],
+                                                 rngs=rngs)}
+    print('int8 calibrated', flush=True)
+
+    rngl = np.random.default_rng(77)
+    labels = rngl.integers(N_CLASSES, size=N_GEN).astype(np.int32)
+    real, _ = draw_real(centers, N_GEN, seed=999)
+
+    results = {}
+    for name, m, mode, qc in (
+            ('dense_cfg', model, 'cfg', None),
+            ('dense_plain', model, 'plain', None),
+            ('int8_cfg', mq, 'cfg', coll),
+            ('int8_maru_win', mq, 'maruyama_win', coll)):
+        t0 = time.time()
+        x = generate_lwd(m, ema, mode, labels, coll=qc)
+        results[name] = _score(name, x, real, labels, centers, t0)
+    real2, y2 = draw_real(centers, N_GEN, seed=555)
+    results['real_floor'] = _score('real-vs-real', real2, real, y2,
+                                   centers, time.time())
+    print(json.dumps({'metric': 'LwD serving-mode distribution A/B',
+                      'train_steps': steps, 'n_gen': N_GEN,
+                      'K': K_LWD, 'S': S_LWD, **results}), flush=True)
+
+
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     print('backend:', jax.devices(), flush=True)
+    if FAMILY == 'lwd':
+        main_lwd(steps)
+        return
     centers = mode_centers()
     model, ema = train(centers, steps)
 
