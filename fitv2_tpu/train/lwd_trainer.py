@@ -53,6 +53,9 @@ class LwDTrainerConfig:
     mesh_tensor: int = 1
     # overlap checkpoint writes with training (see TrainerConfig)
     async_checkpointing: bool = False
+    # preemption-safe exit (see TrainerConfig / train/preemption.py)
+    handle_preemption: bool = True
+    preemption_sync_every: int = 16
 
 
 class LwDTrainer:
@@ -110,6 +113,7 @@ class LwDTrainer:
             for k in range(model.number_of_perflow)}
         self._segment_sampler = SegmentSampler(model.number_of_perflow,
                                                seed=config.seed)
+        self.preempted = False  # set True when train() exits on a signal
 
     def init_state(self, example_batch: Dict[str, np.ndarray]):
         b = {k: jnp.asarray(v[:1]) for k, v in example_batch.items()
@@ -134,37 +138,63 @@ class LwDTrainer:
             found = latest_checkpoint_step(self.ckpt.ckpt_dir)
             if found and state is not None:
                 restored, step = self.ckpt.restore(
-                    jax.tree_util.tree_map(np.asarray, state), step=found)
+                    self._host_state(state), step=found)
                 if restored is not None:
                     state = restored
 
+        from fitv2_tpu.train.preemption import PreemptionGuard
+        guard = PreemptionGuard(enabled=cfg.handle_preemption,
+                                sync_every=cfg.preemption_sync_every)
+        self.preempted = False
+
         t0 = time.time()
-        for batch_np in batch_iterator:
-            if state is None:
-                state = self.init_state(batch_np)
-            batch = jax.device_put(
-                {k: jnp.asarray(v) for k, v in batch_np.items()}, bsh)
-            agg: Dict[str, float] = {}
-            for _ in range(cfg.segments_per_step):
-                seg = self._segment_sampler()
-                state, metrics = self._jitted[seg](state, batch, rng)
-                for k, v in metrics.items():
-                    agg[k] = agg.get(k, 0.0) + float(v) / cfg.segments_per_step
-            step += 1
-            if step % cfg.log_every == 0:
-                agg['steps_per_sec'] = cfg.log_every / max(
-                    time.time() - t0, 1e-9)
-                t0 = time.time()
-                if is_main_process():
-                    logger.info('step %d: %s', step, json.dumps(agg))
-                if metric_hook:
-                    metric_hook(step, agg)
-            if step % cfg.checkpointing_steps == 0 or step >= max_steps:
-                if is_main_process():
-                    self.ckpt.save(step,
-                                   jax.tree_util.tree_map(np.asarray, state))
-            if step >= max_steps:
-                break
+        try:
+            for batch_np in batch_iterator:
+                if state is None:
+                    state = self.init_state(batch_np)
+                batch = jax.device_put(
+                    {k: jnp.asarray(v) for k, v in batch_np.items()}, bsh)
+                agg: Dict[str, float] = {}
+                for _ in range(cfg.segments_per_step):
+                    seg = self._segment_sampler()
+                    state, metrics = self._jitted[seg](state, batch, rng)
+                    for k, v in metrics.items():
+                        agg[k] = (agg.get(k, 0.0)
+                                  + float(v) / cfg.segments_per_step)
+                step += 1
+                if step % cfg.log_every == 0:
+                    agg['steps_per_sec'] = cfg.log_every / max(
+                        time.time() - t0, 1e-9)
+                    t0 = time.time()
+                    if is_main_process():
+                        logger.info('step %d: %s', step, json.dumps(agg))
+                    if metric_hook:
+                        metric_hook(step, agg)
+                preempted = guard.should_stop(step)
+                if (step % cfg.checkpointing_steps == 0 or step >= max_steps
+                        or preempted):
+                    # EVERY process calls save — orbax's save is a
+                    # collective; rank0-only deadlocks on a pod
+                    # (tests/test_multiprocess.py, same fix as Trainer)
+                    self.ckpt.save(step, self._host_state(state))
+                if preempted:
+                    self.preempted = True
+                    logger.warning('preemption checkpoint written at step '
+                                   '%d; exiting the LwD train loop', step)
+                    break
+                if step >= max_steps:
+                    break
+        finally:
+            guard.restore()
         if self.cfg.async_checkpointing and is_main_process():
             self.ckpt.wait()
         return state
+
+    @staticmethod
+    def _host_state(state):
+        """Full host copy on every process (global arrays are not fully
+        addressable — np.asarray would throw; same as Trainer._host_state)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return multihost_utils.process_allgather(state, tiled=True)
+        return jax.tree_util.tree_map(np.asarray, state)

@@ -101,10 +101,14 @@ class TrainerConfig:
     # agree across processes, write a checkpoint at the interrupted step,
     # and return — instead of losing everything since the last cadence
     # save (the reference's only protection, train_fitv2.py:478-511).
-    # A second signal exits immediately (handlers are restored after the
-    # first). Multi-process: the flag is all-gathered so every process
-    # enters the collective orbax save together, whichever host was hit.
+    # A second signal exits immediately. After a preempted run,
+    # Trainer.preempted is True — callers gating follow-on work (eval,
+    # export) on a COMPLETED run must check it. Multi-process: the flag
+    # is all-gathered every preemption_sync_every steps (never per step:
+    # that host-blocking collective would kill dispatch run-ahead) so
+    # every process enters the collective orbax save together.
     handle_preemption: bool = True
+    preemption_sync_every: int = 16
     log_every: int = 100
 
 
@@ -120,6 +124,7 @@ class Trainer:
             raise ValueError("gemm_precision='int8' is inference-only; "
                              "train in bf16 and quantize for serving")
         self.cfg = config
+        self.preempted = False  # set True when train() exits on a signal
         self.transport = transport or create_transport(
             config.path_type, config.prediction, snr_type=config.snr_type)
         self.mesh = build_mesh(MeshConfig(
@@ -251,16 +256,6 @@ class Trainer:
             return multihost_utils.process_allgather(state, tiled=True)
         return jax.tree_util.tree_map(np.asarray, state)
 
-    @staticmethod
-    def _agree_preemption(flag: bool) -> bool:
-        """True when ANY process saw a preemption signal. Collective in
-        multi-process (every process calls it once per step, so the
-        all-gathers stay aligned); a plain flag read single-process."""
-        if jax.process_count() == 1:
-            return flag
-        from jax.experimental import multihost_utils
-        return bool(np.any(multihost_utils.process_allgather(
-            np.asarray([flag]))))
 
     # -- loop -------------------------------------------------------------------
 
@@ -305,33 +300,12 @@ class Trainer:
             return jitted(state, batch, rng)
 
         # preemption handling: catch the first SIGTERM/SIGINT, finish the
-        # in-flight step, checkpoint, return; restore default handlers so
-        # a second signal exits immediately (see TrainerConfig docstring)
-        preempt = {'sig': None}
-        installed = {}
-        if cfg.handle_preemption:
-            import signal
-
-            def _restore_handlers():
-                for s, h in list(installed.items()):
-                    try:
-                        signal.signal(s, h)
-                    except (ValueError, OSError):
-                        pass
-                installed.clear()
-
-            def _on_signal(signum, frame):
-                preempt['sig'] = signum
-                _restore_handlers()
-                logger.warning(
-                    'signal %d: writing a checkpoint after the current '
-                    'step, then exiting (send again to exit now)', signum)
-
-            try:
-                for s in (signal.SIGTERM, signal.SIGINT):
-                    installed[s] = signal.signal(s, _on_signal)
-            except ValueError:  # not the main thread: no handlers
-                _restore_handlers()
+        # in-flight step, checkpoint, return (see TrainerConfig docstring
+        # and train/preemption.py)
+        from fitv2_tpu.train.preemption import PreemptionGuard
+        guard = PreemptionGuard(enabled=cfg.handle_preemption,
+                                sync_every=cfg.preemption_sync_every)
+        self.preempted = False
 
         try:
             state, metrics = run_one(first, state)
@@ -351,8 +325,7 @@ class Trainer:
                         logger.info('step %d: %s', step, json.dumps(m))
                     if metric_hook:
                         metric_hook(step, m)
-                preempted = cfg.handle_preemption and self._agree_preemption(
-                    preempt['sig'] is not None)
+                preempted = guard.should_stop(step)
                 if (step % cfg.checkpointing_steps == 0 or step >= max_steps
                         or preempted):
                     host_state = self._host_state(state)
@@ -364,15 +337,16 @@ class Trainer:
                 if preempted:
                     if self.cfg.async_checkpointing:
                         self.ckpt.wait()
+                    self.preempted = True
                     logger.warning(
                         'preemption checkpoint written at step %d; '
-                        'exiting the train loop', step)
+                        'exiting the train loop (Trainer.preempted=True)',
+                        step)
                     break
                 if step >= max_steps:
                     break
         finally:
-            if installed:
-                _restore_handlers()
+            guard.restore()
         if self.cfg.async_checkpointing and is_main_process():
             self.ckpt.wait()
         return state

@@ -68,8 +68,11 @@ def main():
                   f'({ncpu} CPU core(s), {WORKERS} workers)', flush=True)
         if len(rates) == 2:
             print(f'native/python: {rates["native"] / rates["python"]:.2f}x; '
-                  f'vs XL train demand 72-110 img/s/chip: native covers '
-                  f'{rates["native"] / 110:.0f} chips/core', flush=True)
+                  f'this host config ({ncpu} core(s), {WORKERS} workers) '
+                  f'covers {rates["native"] / 110:.0f} chips at the 110 '
+                  f'img/s pod per-chip demand '
+                  f'({rates["native"] / 72:.0f} at the 72 img/s single-chip '
+                  f'fp32-state rate)', flush=True)
 
 
 if __name__ == '__main__':

@@ -9,9 +9,10 @@ machine-checked, without needing a pod:
 
   1. compiles the REAL train step (train/train_step.py) at the full 3B
      geometry (hidden 2304 / depth 40 / heads 24 / adaln-lora 576, remat
-     'dots' — configs/fitv2_3b.yaml) on a virtual 8-device mesh under the
-     config's own sharding (data=2 x fsdp=4), with ABSTRACT inputs
-     (jax.eval_shape) so no multi-GB buffer is ever materialized;
+     'dots' — configs/fitv2_3b.yaml) on a virtual 8-device mesh under
+     BOTH candidate shardings — data=2 x fsdp=4 and the shipped
+     data=1 x fsdp=8 — with ABSTRACT inputs (jax.eval_shape) so no
+     multi-GB buffer is ever materialized;
   2. asserts the ZeRO-3 collective signature on the compiled HLO
      (per-layer weight all-gathers, bounded activation gathers, gradient
      reduction — parallel/hlo_check.check_fsdp);
@@ -150,10 +151,11 @@ def shard_plan(params, state, fsdp_sizes, n_ctx):
     return rows
 
 
-def compile_fsdp(model, n_ctx, batch, tx, params, state):
-    """Compile the real train step (abstract args) under data=2 x fsdp=4 and
-    pin the ZeRO-3 signature."""
-    mesh = build_mesh(MeshConfig(data=2, fsdp=4))
+def compile_fsdp(model, n_ctx, batch, tx, params, state,
+                 data=2, fsdp=4):
+    """Compile the real train step (abstract args) under the given
+    data x fsdp layout and pin the ZeRO-3 signature."""
+    mesh = build_mesh(MeshConfig(data=data, fsdp=fsdp))
     model = model.clone(sequence_mesh=mesh)
     transport = create_transport('Linear', 'velocity', snr_type='lognorm')
     train_step = make_train_step(model, transport, tx)
@@ -192,7 +194,10 @@ def compile_fsdp(model, n_ctx, batch, tx, params, state):
         if path.startswith('blocks/') and path.endswith('kernel'):
             wd.append(tuple(leaf.shape[1:]))
     jax.tree_util.tree_map_with_path(visit, params)
-    check_fsdp(txt, wd, batch=batch, n_ctx=n_ctx)
+    # pure-fsdp layouts (data=1) compile 3 bounded full-activation gathers
+    # at loss/embed boundaries (~19 MB each at 3B/256 — noise next to the
+    # per-layer weight gathers); a broken rule shows up as dozens
+    check_fsdp(txt, wd, batch=batch, n_ctx=n_ctx, max_act_gathers=4)
     counts = collective_counts(txt)
     mem = None
     try:
@@ -218,16 +223,21 @@ def main():
                    for l in jax.tree_util.tree_leaves(params))
     print(f'{tag}: {n_params/1e9:.3f}B params, batch {batch}', flush=True)
 
-    print('compiling the real train step on data=2 x fsdp=4 '
-          '(8 virtual devices, abstract inputs)...', flush=True)
-    counts, mem = compile_fsdp(model, n_ctx, batch, tx, params, state)
-    print('ZeRO-3 signature OK:', ', '.join(
-        f'{k}={v}' for k, v in counts.items() if v), flush=True)
-    if mem:
-        print(f'compiled (CPU-backend) memory analysis: '
-              f'temp {mem["temp_gb"]:.2f} GB, args {mem["arg_gb"]:.2f} GB '
-              f'per device (TPU assignment differs; state plan below is '
-              f'backend-exact)', flush=True)
+    all_counts = {}
+    for d, f in ((2, 4), (1, 8)):  # candidate + the shipped mesh_fsdp: 8
+        print(f'compiling the real train step on data={d} x fsdp={f} '
+              '(8 virtual devices, abstract inputs)...', flush=True)
+        counts, mem = compile_fsdp(model, n_ctx, batch, tx, params, state,
+                                   data=d, fsdp=f)
+        all_counts[f'data{d}_fsdp{f}'] = {k: v for k, v in counts.items()
+                                          if v}
+        print(f'ZeRO-3 signature OK (data={d} x fsdp={f}):', ', '.join(
+            f'{k}={v}' for k, v in counts.items() if v), flush=True)
+        if mem:
+            print(f'  compiled (CPU-backend) memory analysis: '
+                  f'temp {mem["temp_gb"]:.2f} GB, args {mem["arg_gb"]:.2f} '
+                  f'GB per device (TPU assignment differs; state plan '
+                  f'below is backend-exact)', flush=True)
 
     rows = shard_plan(params, state, (4, 8, 16, 32), n_ctx)
     print(f'\nper-device persistent train state (params fp32 + grads + '
@@ -242,7 +252,7 @@ def main():
               f'{r["unsharded_mb"]:>10.1f} MB', flush=True)
     print(json.dumps({
         'metric': f'FiTv2-{tag} train plan', 'params_b': round(n_params/1e9, 3),
-        'collectives_data2_fsdp4': {k: v for k, v in counts.items() if v},
+        'collectives': all_counts,
         'per_device_state_gb': {str(k): round(v['state_total_gb'], 2)
                                 for k, v in rows.items()},
         'min_fsdp_fits_v5e': min((k for k, v in rows.items()

@@ -70,6 +70,11 @@ FAMILY = _os.environ.get('SAB_FAMILY', 'fm')
 K_LWD = _env('SAB_K', 3)      # perflow segments
 S_LWD = _env('SAB_S', 8)      # Euler sub-steps per segment
 
+# the generation loops emit exact multiples of GEN_BATCH; a silent tail
+# drop would crash the scoring reshape AFTER the expensive training phase
+assert N_GEN % GEN_BATCH == 0, (
+    f'SAB_NGEN ({N_GEN}) must be a multiple of SAB_BATCH ({GEN_BATCH})')
+
 
 def mode_centers(seed=0):
     rng = np.random.default_rng(seed)
@@ -210,14 +215,14 @@ def generate_lwd(model, params, mode, labels_np, coll=None):
     variables = {'params': params, **(coll or {})}
 
     if mode == 'plain':
-        fn = jax.jit(lambda z, y: model.apply(
+        fn = jax.jit(lambda r, z, y: model.apply(
             variables, z, y, S_LWD, method=model.sample))
     elif mode == 'cfg':
-        fn = jax.jit(lambda z, y: model.apply(
+        fn = jax.jit(lambda r, z, y: model.apply(
             variables, z, y, CFG, S_LWD, method=model.sample_cfg))
     elif mode == 'maruyama_win':
-        fn = jax.jit(lambda z, y: model.apply(
-            variables, jax.random.PRNGKey(13), z, y, CFG, S_LWD,
+        fn = jax.jit(lambda r, z, y: model.apply(
+            variables, r, z, y, CFG, S_LWD,
             guidance_low=0.3, guidance_high=0.9,
             method=model.sample_maruyama_cfg))
     else:
@@ -227,7 +232,11 @@ def generate_lwd(model, params, mode, labels_np, coll=None):
         lab = jnp.asarray(labels_np[bi * GEN_BATCH:(bi + 1) * GEN_BATCH])
         z = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(7), bi),
                               (GEN_BATCH, N_CTX, TOKEN_DIM))
-        outs.append(np.asarray(fn(z, lab), np.float32))
+        # per-batch SDE key: a constant key would correlate the Maruyama
+        # noise sequences across generation batches
+        outs.append(np.asarray(
+            fn(jax.random.fold_in(jax.random.PRNGKey(13), bi), z, lab),
+            np.float32))
     return np.concatenate(outs, 0)
 
 
@@ -361,42 +370,15 @@ def main():
                           'velocity_extrap_order': 2}, coll),
     ]
 
-    from fitv2_tpu.eval.statistics import fid_from_activations
     results = {}
-    base = None
     for name, m, kw, qc in modes:
         t0 = time.time()
         x = generate(m, ema, kw, labels, quant_collections=qc)
-        raw_fd = fid_from_activations(real.reshape(N_GEN, -1),
-                                      x.reshape(N_GEN, -1))
-        mlp_fd = fid_from_activations(random_mlp_features(real),
-                                      random_mlp_features(x))
-        cov, acc, chi2, ncd = mode_stats(x, labels, centers)
-        results[name] = dict(raw_fd=round(float(raw_fd), 4),
-                             mlp_fd=round(float(mlp_fd), 4),
-                             coverage=round(cov, 4),
-                             cond_acc=round(acc, 4), chi2=round(chi2, 1),
-                             nearest_center_dist=round(ncd, 2))
-        if base is None:
-            base = results[name]
-        print(f'{name:14s}: raw-FD {raw_fd:8.4f}  mlp-FD {mlp_fd:8.4f}  '
-              f'coverage {cov:.3f}  cond-acc {acc:.3f}  chi2 {chi2:8.1f}  '
-              f'ncd {ncd:6.2f}  ({time.time()-t0:.0f}s)', flush=True)
+        results[name] = _score(name, x, real, labels, centers, t0)
     # real-vs-real floor (sampling noise of the metric itself)
-    real2, _ = draw_real(centers, N_GEN, seed=555)
-    floor_raw = fid_from_activations(real.reshape(N_GEN, -1),
-                                     real2.reshape(N_GEN, -1))
-    floor_mlp = fid_from_activations(random_mlp_features(real),
-                                     random_mlp_features(real2))
-    cov_r, acc_r, chi2_r, ncd_r = mode_stats(real2, _, centers)
-    print(f'{"real-vs-real":14s}: raw-FD {floor_raw:8.4f}  '
-          f'mlp-FD {floor_mlp:8.4f}  coverage {cov_r:.3f}  '
-          f'cond-acc {acc_r:.3f}  chi2 {chi2_r:8.1f}  ncd {ncd_r:6.2f}',
-          flush=True)
-    results['real_floor'] = dict(raw_fd=round(float(floor_raw), 4),
-                                 mlp_fd=round(float(floor_mlp), 4),
-                                 coverage=round(cov_r, 4),
-                                 cond_acc=round(acc_r, 4))
+    real2, y2 = draw_real(centers, N_GEN, seed=555)
+    results['real_floor'] = _score('real-vs-real', real2, real, y2,
+                                   centers, time.time())
     print(json.dumps({'metric': 'serving-mode distribution A/B',
                       'train_steps': steps, 'n_gen': N_GEN, **results}),
           flush=True)
