@@ -161,16 +161,21 @@ def stage_hr():
     print(json.dumps(result), flush=True)
 
 
-def stage_bfm():
-    """BFM-XL/2 segment sampling (K=6) at S=4 (24 NFE) and S=16 (96 NFE)."""
+def _build_bfm(precision='bf16'):
     from fitv2_tpu.models.bfm import BFM
-    model = BFM(context_size=256, hidden_size=1152, depth=30, num_heads=16,
-                use_swiglu=False, q_norm='rmsnorm', k_norm='rmsnorm',
-                adaln_type='normal', adaln_lora_dim=288,
-                number_of_perflow=6, number_of_representation_blocks=20,
-                repa_dim=768, n_patch_h=16, n_patch_w=16,
-                class_dropout_prob=0.1, max_cached_len=64,
-                dtype=jnp.bfloat16)
+    return BFM(context_size=256, hidden_size=1152, depth=30, num_heads=16,
+               use_swiglu=False, q_norm='rmsnorm', k_norm='rmsnorm',
+               adaln_type='normal', adaln_lora_dim=288,
+               number_of_perflow=6, number_of_representation_blocks=20,
+               repa_dim=768, n_patch_h=16, n_patch_w=16,
+               class_dropout_prob=0.1, max_cached_len=64,
+               dtype=jnp.bfloat16, gemm_precision=precision)
+
+
+def stage_bfm():
+    """BFM-XL/2 segment sampling (K=6) at S=4 (24 NFE) and S=16 (96 NFE),
+    bf16 and int8 W8A8 serving."""
+    model = _build_bfm()
     from fitv2_tpu.models.grid_utils import make_grid_mask_size
     grid, mask, size = make_grid_mask_size(1, 16, 16, 256)
     x0 = jnp.zeros((1, 256, 16), jnp.float32)
@@ -188,17 +193,38 @@ def stage_bfm():
     y = (jnp.arange(BATCH) % 1000).astype(jnp.int32)
     result = {'metric': 'BFM-XL segment CFG sampling (K=6)',
               'unit': 'images/sec/chip', 'params_b': round(n_params / 1e9, 3)}
-    for steps in (4, 16):
-        @jax.jit
-        def sample(params, z, steps=steps):
-            return model.apply({'params': params}, z, y, 1.4, steps,
-                               method=model.sample_cfg)
-        z0 = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 256, 16),
-                               jnp.float32)
-        print(f'compiling BFM-XL sample_cfg S={steps}...', flush=True)
-        v = _measure(f'bfm_xl:S{steps}', sample, (params, z0), BATCH)
-        result[f's{steps}_value'] = round(v, 4)
-        result[f's{steps}_nfe'] = 2 * steps  # full-model equiv (CFG-doubled)
+    mq = _build_bfm('int8')
+    from fitv2_tpu.ops.quant import calibrate_quant_scales, prequantize_weights
+    grid2, mask2, size2 = make_grid_mask_size(2 * BATCH, 16, 16, 256)
+    zc = jax.random.normal(jax.random.PRNGKey(9), (2 * BATCH, 256, 16))
+    yc = jnp.concatenate([y, jnp.full((BATCH,), 1000, jnp.int32)])
+    rngs = {'label_dropout': jax.random.PRNGKey(21)}
+    cal = [(zc * s, jnp.full((2 * BATCH,), t, jnp.float32), yc, grid2,
+            mask2, size2) for s, t in ((1.0, 0.1), (0.8, 0.5), (0.7, 0.9))]
+    print('calibrating BFM-XL int8...', flush=True)
+    coll = {'quant_calib': calibrate_quant_scales(mq, params, cal,
+                                                  rngs=rngs),
+            'quant_weights': prequantize_weights(mq, params, cal[0],
+                                                 rngs=rngs)}
+    for prec, m, variables, key in (
+            ('bf16', model, {'params': params}, ''),
+            ('int8', mq, {'params': params, **coll}, 'int8_')):
+        for steps in (4, 16):
+            # variables as a jit ARGUMENT: closing over the prequantized
+            # weights embeds them as HLO constants and the remote compile
+            # rejects the payload (HTTP 413)
+            @jax.jit
+            def sample(variables, z, m=m, steps=steps):
+                return m.apply(variables, z, y, 1.4, steps,
+                               method=m.sample_cfg)
+            z0 = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 256, 16),
+                                   jnp.float32)
+            print(f'compiling BFM-XL {prec} sample_cfg S={steps}...',
+                  flush=True)
+            v = _measure(f'bfm_xl:{prec}:S{steps}', sample, (variables, z0),
+                         BATCH)
+            result[f'{key}s{steps}_value'] = round(v, 4)
+            result[f'{key}s{steps}_nfe'] = 2 * steps  # CFG-doubled NFE
     print(json.dumps(result), flush=True)
 
 
