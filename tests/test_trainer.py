@@ -88,6 +88,34 @@ def test_trainer_came_optimizer(tmp_path):
     assert all(np.isfinite(m['loss']) for m in metrics)
 
 
+def test_preemption_guard_semantics():
+    """PreemptionGuard: disabled guard never stops; the first signal sets
+    the flag AND restores the original handlers (so a second signal kills);
+    single-process should_stop reads the flag immediately."""
+    import signal
+
+    from fitv2_tpu.train.preemption import PreemptionGuard
+
+    off = PreemptionGuard(enabled=False)
+    assert not off.should_stop(1)
+
+    before = signal.getsignal(signal.SIGTERM)
+    g = PreemptionGuard(enabled=True, sync_every=4)
+    try:
+        assert not g.should_stop(1)
+        os.kill(os.getpid(), signal.SIGTERM)
+        import time
+        time.sleep(0.01)  # let the Python-level handler run
+        assert g.sig == signal.SIGTERM
+        # handlers restored by the first signal: a second one would kill
+        assert signal.getsignal(signal.SIGTERM) == before
+        # single-process: acted on immediately, no cadence wait
+        assert g.should_stop(1) and g.should_stop(3)
+    finally:
+        g.restore()
+        signal.signal(signal.SIGTERM, before)
+
+
 def test_trainer_preemption_checkpoint(tmp_path):
     """SIGTERM mid-training finishes the in-flight step, writes a
     checkpoint at that step, and exits the loop; a fresh trainer resumes
