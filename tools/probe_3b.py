@@ -86,16 +86,21 @@ def stage_serve():
     result = {'metric': 'FiTv2-3B 256x256 250-step ODE CFG sampling',
               'unit': 'images/sec/chip', 'params_b': round(n_params / 1e9, 3),
               'bf16_roofline': 0.297}
-    for precision, name, low, high, key in (
-            ('bf16', 'dense', 0.0, 1.0, 'value'),
-            ('int8', 'dense', 0.0, 1.0, 'int8_serving_value'),
-            ('int8', 'win[.3,.9]', 0.3, 0.9, 'int8_interval_value')):
+    for precision, name, kw, key in (
+            ('bf16', 'dense', {}, 'value'),
+            ('int8', 'dense', {}, 'int8_serving_value'),
+            ('int8', 'win[.3,.9]',
+             dict(guidance_low=0.3, guidance_high=0.9),
+             'int8_interval_value'),
+            ('int8', 'composed',
+             dict(guidance_low=0.3, guidance_high=0.9,
+                  velocity_eval_every=2, velocity_extrap_order=2),
+             'int8_composed_value')):
         model = build_3b(precision)
         cfg = SamplingConfig(
             image_height=256, image_width=256,
             num_sampling_steps=bench.STEPS, cfg_scale=bench.CFG_SCALE,
-            per_device_batch=BATCH, dtype=jnp.bfloat16,
-            guidance_low=low, guidance_high=high)
+            per_device_batch=BATCH, dtype=jnp.bfloat16, **kw)
         fn = build_sampler(model, params, cfg)
         result[key] = round(
             _measure(f'{precision}:{name}', fn, (rng, labels), BATCH), 4)
@@ -159,6 +164,29 @@ def stage_hr():
             _measure(f'hr3b:{precision}', sample, (params, extra, z0), B), 4)
     result['mfu_bf16'] = round(result['value'] / result['bf16_roofline'], 3)
     print(json.dumps(result), flush=True)
+
+
+def stage_hr_composed():
+    """HR-3B serving maximum through the real pipeline: int8 + interval
+    [0.3,0.9] + velocity extrapolation N=2 order-2 at 512px/1024 tokens
+    (interpolation='keep' preserves the model's online decoupled NTK —
+    the tools/hr_probe.py stage_composed pattern at the 3B geometry)."""
+    B = 2
+    model = build_3b('int8', context_size=1024, online=True)
+    params = bench.init_params(model)
+    cfg = SamplingConfig(
+        image_height=512, image_width=512, num_sampling_steps=250,
+        cfg_scale=1.65, per_device_batch=B, dtype=jnp.bfloat16,
+        interpolation='keep', guidance_low=0.3, guidance_high=0.9,
+        velocity_eval_every=2, velocity_extrap_order=2)
+    fn = build_sampler(model, params, cfg)
+    labels = (jnp.arange(B) % 1000).astype(jnp.int32)
+    print('compiling HR-3B composed (int8+win+extrap2-o2)...', flush=True)
+    v = _measure('hr3b:composed', fn, (jax.random.PRNGKey(1), labels), B)
+    print(json.dumps({
+        'metric': 'FiTv2-HR-3B 512x512 composed serving max',
+        'unit': 'images/sec/chip', 'int8_composed_value': round(v, 4),
+        'bf16_roofline': 0.070}), flush=True)
 
 
 def _build_bfm(precision='bf16'):
@@ -231,5 +259,6 @@ def stage_bfm():
 if __name__ == '__main__':
     print('devices:', jax.devices(), flush=True)
     for s in sys.argv[1:] or ['serve']:
-        {'serve': stage_serve, 'hr': stage_hr, 'bfm': stage_bfm}[s]()
+        {'serve': stage_serve, 'hr': stage_hr, 'bfm': stage_bfm,
+         'hr_composed': stage_hr_composed}[s]()
     print('DONE', flush=True)
