@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument('--vae', default=None,
                    help='sd-vae safetensors/bin; omit to emit raw latents')
     p.add_argument('--out', default='samples.npz')
+    p.add_argument('--resume-dir', default=None,
+                   help='directory for per-batch shards; a restarted run '
+                        'skips completed batches (preemption-safe FID '
+                        'generation, bit-identical to an uninterrupted run)')
     p.add_argument('--data-parallel', action='store_true',
                    help='shard the CFG batch over all local devices '
                         '(single-process DP FID generation; the DDP '
@@ -137,7 +141,8 @@ def main(argv=None):
     images = generate_fid_samples(
         fn, args.num_fid_samples,
         getattr(fn, 'batch_size', args.per_device_batch),
-        args.num_classes, seed=args.global_seed, progress=True)
+        args.num_classes, seed=args.global_seed, progress=True,
+        resume_dir=args.resume_dir)
 
     import jax
     if jax.process_count() > 1:

@@ -14,6 +14,7 @@ bucket (max_pe_len = target patch grid, ori_max_pe_len = training grid).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -367,13 +368,21 @@ def build_sampler(model, params, cfg: SamplingConfig,
 def generate_fid_samples(sample_fn: Callable, num_fid_samples: int,
                          per_device_batch: int, num_classes: int = 1000,
                          seed: int = 0,
-                         progress: bool = False) -> np.ndarray:
+                         progress: bool = False,
+                         resume_dir: Optional[str] = None) -> np.ndarray:
     """Per-process FID generation loop (reference :248-348 without DDP).
 
     Per-batch label/noise keys are folded from (seed, process_index, batch),
     the JAX analogue of the reference's rank-offset seeding (:54-56).
     Multi-host: each process generates its share; gather with
     fitv2_tpu.parallel.process_allgather before writing the npz.
+
+    resume_dir: make the loop PREEMPTION-SAFE (beyond reference — the
+    reference's 50K DDP run restarts from zero, sample_fitv2_ddp.py:248).
+    Each completed batch is written to ``resume_dir`` atomically
+    (tmp+rename); on restart, batches whose shard exists are loaded
+    instead of re-sampled. Keys derive from (seed, proc, batch) only, so
+    a resumed run is bit-identical to an uninterrupted one.
     """
     proc = jax.process_index()
     n_proc = jax.process_count()
@@ -387,14 +396,32 @@ def generate_fid_samples(sample_fn: Callable, num_fid_samples: int,
             it = tqdm(it)
         except ImportError:
             pass
+    if resume_dir:
+        os.makedirs(resume_dir, exist_ok=True)
+
+    def shard_path(bi):
+        return os.path.join(resume_dir, f'shard_p{proc}_b{bi}.npy')
+
     base = jax.random.PRNGKey(seed)
     for bi in it:
+        if resume_dir and os.path.exists(shard_path(bi)):
+            try:
+                arr = np.load(shard_path(bi))
+                if len(arr) == per_device_batch:
+                    out.append(arr)
+                    continue
+            except Exception:
+                pass  # unreadable/partial shard: regenerate it
         key = jax.random.fold_in(jax.random.fold_in(base, proc), bi)
         k_label, k_noise = jax.random.split(key)
         labels = jax.random.randint(k_label, (per_device_batch,), 0,
                                     num_classes)
-        imgs = sample_fn(k_noise, labels)
-        out.append(np.asarray(imgs))
+        imgs = np.asarray(sample_fn(k_noise, labels))
+        if resume_dir:
+            tmp = shard_path(bi) + '.tmp.npy'
+            np.save(tmp, imgs)
+            os.replace(tmp, shard_path(bi))
+        out.append(imgs)
     return np.concatenate(out, axis=0)[:per_proc]
 
 
