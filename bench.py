@@ -44,18 +44,27 @@ CFG_SCALE = 1.5
 BASELINE_IMG_PER_SEC = 1.70  # estimated reference A100 (see module docstring)
 
 
-def _best_of(run, n_iters: int = 3) -> float:
-    """img/s from the FASTEST of n individually-timed calls (caller must
-    have warmed `run` up). The tunnel runtime occasionally stalls one call
-    for tens of seconds (observed 2026-08-19: a single stall turned the
-    1.02 img/s bf16 headline into 0.025 under mean-of-3 timing); the
-    per-call minimum is the steady-state number the chip actually sustains."""
-    best = float('inf')
+def _timed(run, n_iters: int = 5, batch: int = None) -> dict:
+    """Sustained throughput stats from n individually-timed calls (caller
+    must have warmed `run` up). The tunnel runtime occasionally stalls one
+    call for tens of seconds (observed 2026-08-19: a single stall turned
+    the 1.02 img/s bf16 headline into 0.025 under mean-of-3 timing), so the
+    headline `value` is the MEDIAN of n — robust to a stall outlier without
+    the best-of peak bias the round-4 advisor flagged (the A100 baseline it
+    is ratioed against is a mean estimate). min/mean ride along in the JSON
+    so peak and stall-inclusive numbers stay visible."""
+    batch = BATCH if batch is None else batch
+    times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
-        best = min(best, time.perf_counter() - t0)
-    return BATCH / best
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    median = times[n_iters // 2] if n_iters % 2 else 0.5 * (
+        times[n_iters // 2 - 1] + times[n_iters // 2])
+    return {'value': batch / median,            # sustained (median)
+            'peak': batch / times[0],           # best-of (old protocol)
+            'mean': batch / (sum(times) / n_iters)}
 
 
 def build_model(precision='bf16'):
@@ -140,21 +149,43 @@ def main():
         z0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, n_ctx, 16),
                                jnp.float32)
         sample(params, extra, z0).block_until_ready()  # compile + warmup
-        return _best_of(lambda: sample(params, extra, z0))
+        return _timed(lambda: sample(params, extra, z0))
 
-    img_per_sec = measure(model, {})
+    stats = measure(model, {})
+    img_per_sec = stats['value']
 
+    # NOTE on scope: this times the denoise scan ONLY. The full pipeline
+    # (unpatchify + VAE decode + device->host + npz) adds ~0.5% at 250
+    # steps — measured on-chip by tools/fid_rehearsal.py; the full-pipeline
+    # number lives in PARITY.md ("FID PIPELINE").
     result = {
         'metric': 'FiTv2-XL 256x256 250-step ODE CFG sampling',
         'value': round(img_per_sec, 4),
         'unit': 'images/sec/chip',
         'vs_baseline': round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
+        'value_peak': round(stats['peak'], 4),
+        'value_mean': round(stats['mean'], 4),
     }
 
-    # secondary: the int8 W8A8 serving mode (calibrated static scales +
-    # prequantized weights, ops/quant.py; velocity-field fidelity vs bf16
-    # cos=0.9996). The headline stays bf16 — the distribution-parity path.
-    try:
+    # secondary serving modes. Best-effort, but NEVER silent: a failing
+    # mode records its error string in the JSON (the round-4 `except: pass`
+    # would have quietly shrunk the driver artifact on a regression).
+    def _mode(name, fn):
+        try:
+            v = fn()
+            result[f'{name}_value'] = round(v, 4)
+            result[f'{name}_vs_baseline'] = round(
+                v / BASELINE_IMG_PER_SEC, 4)
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            result.setdefault('serving_errors', {})[name] = (
+                f'{type(e).__name__}: {e}'[:300])
+
+    # int8 W8A8 serving (calibrated static scales + prequantized weights,
+    # ops/quant.py; velocity-field fidelity vs bf16 cos=0.9996). The
+    # headline stays bf16 — the distribution-parity path.
+    state = {}
+
+    def _int8():
         mq = build_model('int8')
         from fitv2_tpu.ops.quant import (calibrate_quant_scales,
                                          prequantize_weights)
@@ -166,58 +197,43 @@ def main():
             'quant_calib': calibrate_quant_scales(mq, params, batches),
             'quant_weights': prequantize_weights(mq, params, batches[0]),
         }
-        int8_img_per_sec = measure(mq, extra)
-        result['int8_serving_value'] = round(int8_img_per_sec, 4)
-        result['int8_serving_vs_baseline'] = round(
-            int8_img_per_sec / BASELINE_IMG_PER_SEC, 4)
+        state['mq'], state['extra'] = mq, extra
+        return measure(mq, extra)['value']
 
-        # max serving mode: int8 GEMMs + guidance-interval CFG [0.3, 0.9] +
-        # velocity-extrapolated Euler (eval_every=2, order=2 Newton) — the
-        # composed config from sample/pipeline.py (each guidance phase runs
-        # its own extrapolated scan with slope resets at the boundaries).
-        # Training-free approximation: the composed mode lands on the
-        # trained overfit anchor at the same relL2 as dense CFG
-        # (tests/test_overfit_e2e.py), FID-at-scale unverified — labeled
-        # separately from the exact paths. Measured 3.51 img/s on-chip
-        # (tools/composed_probe.py; extrap-only was 2.90, interval-only
-        # 1.81).
+    def _serving(name, **cfg_kw):
+        """Composed serving configs through sample/pipeline.build_sampler,
+        reusing the EXACT int8 calibration measured above (the one backed
+        by the cos=0.9996 fidelity evidence)."""
         from fitv2_tpu.sample import SamplingConfig, build_sampler
-        xcfg = SamplingConfig(
-            image_height=256, image_width=256, num_sampling_steps=STEPS,
-            cfg_scale=CFG_SCALE, per_device_batch=BATCH,
-            dtype=jnp.bfloat16, guidance_low=0.3, guidance_high=0.9,
-            velocity_eval_every=2, velocity_extrap_order=2)
-        # quant_collections=extra: the composed mode serves the EXACT int8
-        # calibration measured above (the one backed by the cos=0.9996
-        # fidelity evidence), not a second built-in calibration pass.
-        xfn = build_sampler(mq, params, xcfg, quant_collections=extra)
-        labels = (jnp.arange(BATCH) % 1000).astype(jnp.int32)
-        rngl = jax.random.PRNGKey(1)
-        xfn(rngl, labels).block_until_ready()
-        mx = _best_of(lambda: xfn(rngl, labels))
-        result['serving_max_int8_interval_extrap2_value'] = round(mx, 4)
-        result['serving_max_int8_interval_extrap2_vs_baseline'] = round(
-            mx / BASELINE_IMG_PER_SEC, 4)
-
-        # int8 + guidance interval [0.3, 0.9] (EXACT ladder — no velocity
-        # approximation): CFG double-batch only inside the window, single
-        # conditional forward outside (the reference's own LwD window
-        # semantics, fit_model_lwd_bk.py:1332, lifted to the FM Euler
-        # path). The first exact-ladder config past the baseline estimate.
         scfg = SamplingConfig(
             image_height=256, image_width=256, num_sampling_steps=STEPS,
             cfg_scale=CFG_SCALE, per_device_batch=BATCH,
-            dtype=jnp.bfloat16, guidance_low=0.3, guidance_high=0.9)
-        ifn = build_sampler(mq, params, scfg, quant_collections=extra)
+            dtype=jnp.bfloat16, **cfg_kw)
+        sfn = build_sampler(state['mq'], params, scfg,
+                            quant_collections=state['extra'])
         labels = (jnp.arange(BATCH) % 1000).astype(jnp.int32)
         rngl = jax.random.PRNGKey(1)
-        ifn(rngl, labels).block_until_ready()
-        iv = _best_of(lambda: ifn(rngl, labels))
-        result['int8_interval_guidance_value'] = round(iv, 4)
-        result['int8_interval_guidance_vs_baseline'] = round(
-            iv / BASELINE_IMG_PER_SEC, 4)
-    except Exception:
-        pass  # serving modes are best-effort in the bench
+        sfn(rngl, labels).block_until_ready()
+        return _timed(lambda: sfn(rngl, labels))['value']
+
+    _mode('int8_serving', _int8)
+    if 'mq' in state:
+        # max serving mode: int8 GEMMs + guidance-interval CFG [0.3, 0.9] +
+        # velocity-extrapolated Euler (eval_every=2, order=2 Newton).
+        # Training-free approximation: lands on the trained overfit anchor
+        # at the same relL2 as dense CFG (tests/test_overfit_e2e.py),
+        # FID-at-scale unverified — labeled separately from exact paths.
+        _mode('serving_max_int8_interval_extrap2',
+              lambda: _serving('max', guidance_low=0.3, guidance_high=0.9,
+                               velocity_eval_every=2,
+                               velocity_extrap_order=2))
+        # int8 + guidance interval [0.3, 0.9] (EXACT ladder — no velocity
+        # approximation): CFG double-batch only inside the window, single
+        # conditional forward outside (the reference's own LwD window
+        # semantics, fit_model_lwd_bk.py:1332, lifted to the FM Euler path).
+        _mode('int8_interval_guidance',
+              lambda: _serving('interval', guidance_low=0.3,
+                               guidance_high=0.9))
 
     print(json.dumps(result))
 

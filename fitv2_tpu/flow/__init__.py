@@ -2,8 +2,9 @@
 
 from fitv2_tpu.flow.path import GVPCPlan, ICPlan, VPCPlan, expand_t_like_x
 from fitv2_tpu.flow.samplers import (
-    Sampler, cfg_model_fn, euler_sample, euler_sample_extrapolated,
-    ode_dopri5, ode_euler, ode_heun,
+    ADAPTIVE_TABLEAUS, Sampler, cfg_model_fn, euler_sample,
+    euler_sample_extrapolated, ode_adaptive, ode_dopri5, ode_euler,
+    ode_heun, ode_midpoint, ode_rk4,
     sde_sample,
 )
 from fitv2_tpu.flow.transport import (
@@ -13,9 +14,9 @@ from fitv2_tpu.flow.transport import (
 
 __all__ = [
     'GVPCPlan', 'ICPlan', 'VPCPlan', 'expand_t_like_x',
-    'Sampler', 'cfg_model_fn', 'euler_sample', 'euler_sample_extrapolated',
-    'ode_dopri5', 'ode_euler',
-    'ode_heun', 'sde_sample',
+    'ADAPTIVE_TABLEAUS', 'Sampler', 'cfg_model_fn', 'euler_sample',
+    'euler_sample_extrapolated', 'ode_adaptive', 'ode_dopri5', 'ode_euler',
+    'ode_heun', 'ode_midpoint', 'ode_rk4', 'sde_sample',
     'ModelType', 'PathType', 'SNRType', 'Transport', 'WeightType',
     'create_transport', 'masked_loss_ratio', 'mean_flat',
 ]

@@ -183,6 +183,38 @@ def ode_heun(drift: ModelFn, x: Array, t_grid: Array) -> Array:
     return out
 
 
+def ode_midpoint(drift: ModelFn, x: Array, t_grid: Array) -> Array:
+    """Explicit midpoint (RK2) — torchdiffeq ``method='midpoint'`` parity."""
+    def step(z, pair):
+        t0, t1 = pair[0], pair[1]
+        dt = t1 - t0
+        tv0 = jnp.full((z.shape[0],), t0, z.dtype)
+        tvm = jnp.full((z.shape[0],), t0 + 0.5 * dt, z.dtype)
+        k1 = drift(z, tv0)
+        return z + dt * drift(z + 0.5 * dt * k1, tvm), None
+    pairs = jnp.stack([t_grid[:-1], t_grid[1:]], axis=-1)
+    out, _ = jax.lax.scan(step, x, pairs)
+    return out
+
+
+def ode_rk4(drift: ModelFn, x: Array, t_grid: Array) -> Array:
+    """Classic fixed-step RK4 — torchdiffeq ``method='rk4'`` parity."""
+    def step(z, pair):
+        t0, t1 = pair[0], pair[1]
+        dt = t1 - t0
+        tv0 = jnp.full((z.shape[0],), t0, z.dtype)
+        tvm = jnp.full((z.shape[0],), t0 + 0.5 * dt, z.dtype)
+        tv1 = jnp.full((z.shape[0],), t1, z.dtype)
+        k1 = drift(z, tv0)
+        k2 = drift(z + 0.5 * dt * k1, tvm)
+        k3 = drift(z + 0.5 * dt * k2, tvm)
+        k4 = drift(z + dt * k3, tv1)
+        return z + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), None
+    pairs = jnp.stack([t_grid[:-1], t_grid[1:]], axis=-1)
+    out, _ = jax.lax.scan(step, x, pairs)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Adaptive RK45 (dopri5) under jit — torchdiffeq.odeint replacement
 # (reference integrators.py:109-116). lax.while_loop, PI step control.
@@ -281,6 +313,177 @@ def ode_dopri5(drift: ModelFn, x: Array, t0: float, t1: float,
 
 
 # ---------------------------------------------------------------------------
+# Generic embedded-RK adaptive solver — extends sample_ode's method set to
+# the full torchdiffeq list the reference exposes (integrators.py:109-116
+# passes `method=` straight to torchdiffeq.odeint): dopri8, bosh3,
+# adaptive_heun. Same while_loop/PI-control machinery as dopri5 above,
+# parameterized by Butcher tableau (no FSAL — k1 is recomputed per step;
+# dopri5 keeps its FSAL-specialized implementation).
+# ---------------------------------------------------------------------------
+
+class _RKTableau(NamedTuple):
+    c: tuple       # (s,) stage times
+    a: tuple       # tuple of per-stage coefficient rows (row i has i entries)
+    b_hi: tuple    # (s,) high-order solution weights
+    b_lo: tuple    # (s,) embedded lower-order weights (error estimate)
+    order: int     # order of the propagated (high) solution
+
+
+# Bogacki–Shampine 3(2) (torchdiffeq 'bosh3')
+_BOSH3 = _RKTableau(
+    c=(0., 1/2, 3/4, 1.),
+    a=((), (1/2,), (0., 3/4), (2/9, 1/3, 4/9)),
+    b_hi=(2/9, 1/3, 4/9, 0.),
+    b_lo=(7/24, 1/4, 1/3, 1/8),
+    order=3)
+
+# Heun–Euler 2(1) (torchdiffeq 'adaptive_heun')
+_ADAPTIVE_HEUN = _RKTableau(
+    c=(0., 1.),
+    a=((), (1.,)),
+    b_hi=(1/2, 1/2),
+    b_lo=(1., 0.),
+    order=2)
+
+# Prince–Dormand RK8(7)13M (torchdiffeq 'dopri8').
+_DP8_B_HI = (14005451/335480064, 0., 0., 0., 0., -59238493/1068277825,
+             181606767/758867731, 561292985/797845732,
+             -1041891430/1371343529, 760417239/1151165299,
+             118820643/751138087, -528747749/2220607170, 1/4)
+_DP8_B_LO = (13451932/455176623, 0., 0., 0., 0., -808719846/976000145,
+             1757004468/5645159321, 656045339/265891186,
+             -3867574721/1518517206, 465885868/322736535,
+             53011238/667516719, 2/45, 0.)
+_DOPRI8 = _RKTableau(
+    c=(0., 1/18, 1/12, 1/8, 5/16, 3/8, 59/400, 93/200,
+       5490023248/9719169821, 13/20, 1201146811/1299019798, 1., 1.),
+    a=(
+        (),
+        (1/18,),
+        (1/48, 1/16),
+        (1/32, 0., 3/32),
+        (5/16, 0., -75/64, 75/64),
+        (3/80, 0., 0., 3/16, 3/20),
+        (29443841/614563906, 0., 0., 77736538/692538347,
+         -28693883/1125000000, 23124283/1800000000),
+        (16016141/946692911, 0., 0., 61564180/158732637,
+         22789713/633445777, 545815736/2771057229, -180193667/1043307555),
+        (39632708/573591083, 0., 0., -433636366/683701615,
+         -421739975/2616292301, 100302831/723423059, 790204164/839813087,
+         800635310/3783071287),
+        (246121993/1340847787, 0., 0., -37695042795/15268766246,
+         -309121744/1061227803, -12992083/490766935, 6005943493/2108947869,
+         393006217/1396673457, 123872331/1001029789),
+        (-1028468189/846180014, 0., 0., 8478235783/508512852,
+         1311729495/1432422823, -10304129995/1701304382,
+         -48777925059/3047939560, 15336726248/1032824649,
+         -45442868181/3398467696, 3065993473/597172653),
+        (185892177/718116043, 0., 0., -3185094517/667107341,
+         -477755414/1098053517, -703635378/230739211, 5731566787/1027545527,
+         5232866602/850066563, -4093664535/808688257, 3962137247/1805957418,
+         65686358/487910083),
+        (403863854/491063109, 0., 0., -5068492393/434740067,
+         -411421997/543043805, 652783627/914296604, 11173962825/925320556,
+         -13158990841/6184727034, 3936647629/1978049680,
+         -160528059/685178525, 248638103/1413531060, 0.),
+    ),
+    b_hi=_DP8_B_HI,
+    b_lo=_DP8_B_LO,
+    order=8)
+
+ADAPTIVE_TABLEAUS = {'dopri8': _DOPRI8, 'bosh3': _BOSH3,
+                     'adaptive_heun': _ADAPTIVE_HEUN}
+
+
+def check_tableau(tab: _RKTableau, atol: float = 1e-12) -> None:
+    """Consistency guards against coefficient typos: row sums of A must
+    equal c, and both weight rows must satisfy the order conditions
+    sum(b)=1, sum(b*c)=1/2, sum(b*c^2)=1/3 (orders 1-3; b_lo of the 2(1)
+    pair is only order 1)."""
+    for i, row in enumerate(tab.a):
+        assert abs(sum(row) - tab.c[i]) < atol, (i, sum(row), tab.c[i])
+    for b, min_order in ((tab.b_hi, min(tab.order, 3)), (tab.b_lo, 1)):
+        assert abs(sum(b) - 1.0) < atol, sum(b)
+        if min_order >= 2:
+            s = sum(bi * ci for bi, ci in zip(b, tab.c))
+            assert abs(s - 0.5) < 1e-9, s
+        if min_order >= 3:
+            s = sum(bi * ci * ci for bi, ci in zip(b, tab.c))
+            assert abs(s - 1/3) < 1e-9, s
+
+
+class _AdaptiveState(NamedTuple):
+    t: Array
+    x: Array
+    dt: Array
+    steps: Array
+
+
+def ode_adaptive(drift: ModelFn, x: Array, t0: float, t1: float,
+                 method: str = 'dopri8', rtol: float = 1e-3,
+                 atol: float = 1e-6, max_steps: int = 4096) -> Array:
+    """Adaptive embedded-RK from t0 to t1 under one lax.while_loop.
+
+    Step control matches ode_dopri5 (torchdiffeq defaults): RMS norm of
+    err/(atol + rtol*max(|x|,|x_new|)), safety 0.9, growth clamped to
+    [0.2, 10], exponent -1/order."""
+    tab = ADAPTIVE_TABLEAUS[method]
+    dtype = jnp.float32
+    x = x.astype(dtype)
+    span = t1 - t0
+    n_stages = len(tab.c)
+
+    def dr(z, ts):
+        tv = jnp.full((z.shape[0],), ts, z.dtype)
+        return drift(z, tv).astype(dtype)
+
+    def rk_step(t, z, dt):
+        ks = []
+        for i in range(n_stages):
+            zi = z
+            for j, aij in enumerate(tab.a[i]):
+                if aij != 0.0:
+                    zi = zi + dt * dtype(aij) * ks[j]
+            ks.append(dr(zi, t + dtype(tab.c[i]) * dt))
+        z_hi = z
+        err = jnp.zeros_like(z)
+        for bh, bl, k in zip(tab.b_hi, tab.b_lo, ks):
+            if bh != 0.0:
+                z_hi = z_hi + dt * dtype(bh) * k
+            if bh != bl:
+                err = err + dt * dtype(bh - bl) * k
+        return z_hi, err
+
+    def err_norm(e, z_old, z_new):
+        tol = atol + rtol * jnp.maximum(jnp.abs(z_old), jnp.abs(z_new))
+        r = e / tol
+        return jnp.sqrt(jnp.mean(r.astype(jnp.float32) ** 2))
+
+    def cond(s: _AdaptiveState):
+        return jnp.logical_and(s.steps < max_steps,
+                               (s.t - t1) * jnp.sign(span) < 0)
+
+    def body(s: _AdaptiveState):
+        dt = jnp.where(jnp.abs(s.t + s.dt - t0) > jnp.abs(span),
+                       t1 - s.t, s.dt)
+        z_hi, e = rk_step(s.t, s.x, dt)
+        en = err_norm(e, s.x, z_hi)
+        accept = en <= 1.0
+        factor = jnp.clip(
+            0.9 * jnp.maximum(en, 1e-10) ** (-1.0 / tab.order), 0.2, 10.0)
+        return _AdaptiveState(
+            t=jnp.where(accept, s.t + dt, s.t),
+            x=jnp.where(accept, z_hi, s.x),
+            dt=dt * factor,
+            steps=s.steps + 1)
+
+    init = _AdaptiveState(t=jnp.asarray(t0, dtype), x=x,
+                          dt=jnp.asarray(span / 100.0, dtype),
+                          steps=jnp.asarray(0, jnp.int32))
+    return jax.lax.while_loop(cond, body, init).x
+
+
+# ---------------------------------------------------------------------------
 # SDE integrators (reference integrators.py:8-75)
 # ---------------------------------------------------------------------------
 
@@ -367,11 +570,19 @@ class Sampler:
             drift = lambda z, t: drift_raw(z, t, model_fn)
             if sampling_method == 'dopri5':
                 return ode_dopri5(drift, x, t0, t1, rtol=rtol, atol=atol)
+            if sampling_method in ADAPTIVE_TABLEAUS:  # dopri8/bosh3/
+                return ode_adaptive(drift, x, t0, t1,   # adaptive_heun
+                                    method=sampling_method,
+                                    rtol=rtol, atol=atol)
             t_grid = jnp.linspace(t0, t1, num_steps, dtype=x.dtype)
             if sampling_method in ('euler', 'Euler'):
                 return ode_euler(drift, x, t_grid)
             if sampling_method in ('heun', 'Heun', 'heun2'):
                 return ode_heun(drift, x, t_grid)
+            if sampling_method == 'midpoint':
+                return ode_midpoint(drift, x, t_grid)
+            if sampling_method == 'rk4':
+                return ode_rk4(drift, x, t_grid)
             raise NotImplementedError(sampling_method)
         return sample_fn
 

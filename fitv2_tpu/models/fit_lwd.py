@@ -55,6 +55,12 @@ class BlockStack(nn.Module):
     """L FiTBlocks under nn.scan with stacked (L, ...) parameters."""
     length: int
     block_kwargs: Any  # FrozenDict
+    # static Mesh: pins block-boundary activations batch(+token)-sharded
+    # (parallel/mesh.constrain_sequence) — under FSDP this forces the
+    # ZeRO-3 per-layer weight-gather pattern instead of the TP-style
+    # activation re-layout SPMD otherwise picks (same mechanism as the
+    # flagship FiT, tests/test_comm_patterns.py)
+    sequence_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, c, mask, freqs_cos, freqs_sin, global_adaln):
@@ -66,7 +72,7 @@ class BlockStack(nn.Module):
             length=self.length,
             in_axes=nn.broadcast,
         )
-        x, _ = Scan(self.block_kwargs, name='stack')(
+        x, _ = Scan(self.block_kwargs, self.sequence_mesh, name='stack')(
             x, c, mask, freqs_cos, freqs_sin, global_adaln)
         return x
 

@@ -223,7 +223,7 @@ def process_allgather(x, tiled: bool = False):
 
     tiled=False stacks a new leading process axis (per-host numpy inputs,
     the FID-sample gather). Global non-fully-addressable jax.Arrays require
-    tiled=True and come back as their full replicated value (the
-    checkpoint host-gather path, train/trainer.Trainer._host_state)."""
+    tiled=True and come back as their full replicated value (checkpoints
+    no longer need this — the trainers save sharded arrays directly)."""
     from jax.experimental import multihost_utils
     return multihost_utils.process_allgather(x, tiled=tiled)

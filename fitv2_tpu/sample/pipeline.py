@@ -362,6 +362,14 @@ def build_sampler(model, params, cfg: SamplingConfig,
 
     fn = lambda rng, labels: jitted(variables, rng, labels)  # noqa: E731
     fn.batch_size = B  # effective per-call batch (for FID loop sizing)
+    # stable fingerprint of everything that changes the sampled
+    # distribution — generate_fid_samples stamps it into the resume-dir
+    # manifest so stale shards from a different config are refused
+    import hashlib
+    fp_src = (f'{cfg!r}|model={type(model).__name__}|nh={n_h}|nw={n_w}'
+              f'|vae={vae is not None}|quant={quant_collections is not None}'
+              f'|int8={getattr(model, "gemm_precision", "bf16")}')
+    fn.config_fingerprint = hashlib.sha1(fp_src.encode()).hexdigest()[:16]
     return fn
 
 
@@ -382,7 +390,10 @@ def generate_fid_samples(sample_fn: Callable, num_fid_samples: int,
     Each completed batch is written to ``resume_dir`` atomically
     (tmp+rename); on restart, batches whose shard exists are loaded
     instead of re-sampled. Keys derive from (seed, proc, batch) only, so
-    a resumed run is bit-identical to an uninterrupted one.
+    a resumed run is bit-identical to an uninterrupted one. A manifest
+    (seed, batch size, sample count, classes, sampler-config fingerprint)
+    is stamped into the dir; a rerun whose config differs is REFUSED
+    instead of silently loading stale shards from the previous run.
     """
     proc = jax.process_index()
     n_proc = jax.process_count()
@@ -398,6 +409,29 @@ def generate_fid_samples(sample_fn: Callable, num_fid_samples: int,
             pass
     if resume_dir:
         os.makedirs(resume_dir, exist_ok=True)
+        import json
+        manifest = {
+            'seed': int(seed), 'per_device_batch': int(per_device_batch),
+            'num_fid_samples': int(num_fid_samples),
+            'num_classes': int(num_classes),
+            'config_fingerprint': getattr(sample_fn, 'config_fingerprint',
+                                          None)}
+        mpath = os.path.join(resume_dir, 'manifest.json')
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                prev = json.load(f)
+            if prev != manifest:
+                diff = {k: (prev.get(k), manifest[k]) for k in manifest
+                        if prev.get(k) != manifest[k]}
+                raise ValueError(
+                    f'resume_dir {resume_dir} holds shards from a different '
+                    f'run (manifest mismatch, existing vs requested: {diff});'
+                    f' point --resume-dir at a fresh directory or delete it')
+        elif proc == 0:
+            tmp = mpath + '.tmp'
+            with open(tmp, 'w') as f:
+                json.dump(manifest, f)
+            os.replace(tmp, mpath)
 
     def shard_path(bi):
         return os.path.join(resume_dir, f'shard_p{proc}_b{bi}.npy')

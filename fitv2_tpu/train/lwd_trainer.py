@@ -138,7 +138,7 @@ class LwDTrainer:
             found = latest_checkpoint_step(self.ckpt.ckpt_dir)
             if found and state is not None:
                 restored, step = self.ckpt.restore(
-                    self._host_state(state), step=found)
+                    self._abstract_state(state), step=found)
                 if restored is not None:
                     state = restored
 
@@ -173,11 +173,15 @@ class LwDTrainer:
                 preempted = guard.should_stop(step)
                 if (step % cfg.checkpointing_steps == 0 or step >= max_steps
                         or preempted):
-                    # EVERY process calls save — orbax's save is a
-                    # collective; rank0-only deadlocks on a pod
+                    # Sharded global arrays saved directly (each host writes
+                    # its shards — no full-state allgather spike); EVERY
+                    # process calls save — orbax's save is a collective;
+                    # rank0-only deadlocks on a pod
                     # (tests/test_multiprocess.py, same fix as Trainer)
-                    self.ckpt.save(step, self._host_state(state))
+                    self.ckpt.save(step, state)
                 if preempted:
+                    if cfg.async_checkpointing:
+                        self.ckpt.wait()  # all processes, matching Trainer
                     self.preempted = True
                     logger.warning('preemption checkpoint written at step '
                                    '%d; exiting the LwD train loop', step)
@@ -186,15 +190,15 @@ class LwDTrainer:
                     break
         finally:
             guard.restore()
-        if self.cfg.async_checkpointing and is_main_process():
+        if self.cfg.async_checkpointing:
+            # every process: the async commit barrier is collective
             self.ckpt.wait()
         return state
 
     @staticmethod
-    def _host_state(state):
-        """Full host copy on every process (global arrays are not fully
-        addressable — np.asarray would throw; same as Trainer._host_state)."""
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            return multihost_utils.process_allgather(state, tiled=True)
-        return jax.tree_util.tree_map(np.asarray, state)
+    def _abstract_state(state):
+        """Sharding-carrying abstract restore template (no host gather;
+        same as Trainer._abstract_state)."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding), state)

@@ -240,21 +240,15 @@ class Trainer:
                 is_leaf=lambda x: hasattr(x, 'shape')))
 
     @staticmethod
-    def _host_state(state):
-        """Fetch the full TrainState to host numpy on every process.
+    def _abstract_state(state):
+        """Sharding-carrying abstract template for checkpoint restore.
 
-        Single-process: plain device fetch. Multi-process: state arrays are
-        global jax.Arrays (not fully addressable), so np.asarray would
-        throw — process_allgather returns the fully-replicated value on
-        every host (the reference's FSDP FULL_STATE_DICT rank0-offload
-        equivalent, train_fitv2.py:225-231). Exercised by
-        tests/test_multiprocess.py."""
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            # tiled=True: global arrays come back as their full replicated
-            # value (tiled=False would stack a process axis / throw)
-            return multihost_utils.process_allgather(state, tiled=True)
-        return jax.tree_util.tree_map(np.asarray, state)
+        Orbax restores directly into each leaf's global sharding, so no
+        host gather and no post-restore device_put is needed — each host
+        reads only its shards (the inverse of the sharded save below)."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding), state)
 
 
     # -- loop -------------------------------------------------------------------
@@ -283,10 +277,9 @@ class Trainer:
             state = self.init_state(first)
         if resume_step:
             restored, found = self.ckpt.restore(
-                self._host_state(state), step=resume_step)
+                self._abstract_state(state), step=resume_step)
             if restored is not None:
-                state = jax.device_put(restored,
-                                       self.state_shardings(state))
+                state = restored  # arrives in the template's shardings
                 logger.info('resumed from step %d', found)
 
         bsh = batch_sharding(self.mesh)
@@ -328,12 +321,17 @@ class Trainer:
                 preempted = guard.should_stop(step)
                 if (step % cfg.checkpointing_steps == 0 or step >= max_steps
                         or preempted):
-                    host_state = self._host_state(state)
-                    # EVERY process calls save: orbax's save is a collective
-                    # (internal barriers) and elects the writer itself — a
-                    # rank0-only call deadlocks on a real pod
-                    # (tests/test_multiprocess.py)
-                    self.ckpt.save(step, host_state)
+                    # Save the sharded global jax.Arrays DIRECTLY: each host
+                    # writes only its addressable shards (no full-state
+                    # allgather — for the 3B fp32 state that gather was a
+                    # tens-of-GB host-RAM + DCN spike on every host, every
+                    # checkpoint). Orbax's save contract copies device data
+                    # out before returning, so the donated-state training
+                    # loop can continue immediately. EVERY process calls
+                    # save: orbax's save is a collective (internal barriers)
+                    # and elects writers itself — a rank0-only call
+                    # deadlocks on a real pod (tests/test_multiprocess.py).
+                    self.ckpt.save(step, state)
                 if preempted:
                     if self.cfg.async_checkpointing:
                         self.ckpt.wait()
@@ -347,6 +345,9 @@ class Trainer:
                     break
         finally:
             guard.restore()
-        if self.cfg.async_checkpointing and is_main_process():
+        if self.cfg.async_checkpointing:
+            # EVERY process waits: the async commit barrier is collective —
+            # a main-only wait lets non-main processes exit with the commit
+            # in flight, hanging process 0 / leaving the save uncommitted
             self.ckpt.wait()
         return state

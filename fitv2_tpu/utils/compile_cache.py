@@ -67,14 +67,26 @@ def persistent_cache_disabled():
     (compilation_cache._cache / _cache_used), so once any jit has run with
     the cache enabled, later dir changes are ignored and CPU AOT entries
     keep loading (the round-3 BENCH tail pollution). reset_cache() drops
-    the memoized state so the dir change takes effect both ways."""
+    the memoized state so the dir change takes effect both ways.
+
+    reset_cache is a PRIVATE jax API — if a JAX upgrade moves/renames it,
+    fall back to the config-only toggle with a warning instead of turning
+    every use of this context manager into an ImportError."""
     import jax
-    from jax._src import compilation_cache as _cc
+    try:
+        from jax._src.compilation_cache import reset_cache as _reset_cache
+    except (ImportError, AttributeError):
+        import warnings
+        warnings.warn(
+            'jax._src.compilation_cache.reset_cache unavailable in this '
+            'JAX version; persistent_cache_disabled falls back to the '
+            'config-only toggle (already-memoized cache state may persist)')
+        _reset_cache = lambda: None  # noqa: E731
     old = jax.config.jax_compilation_cache_dir
     try:
         jax.config.update('jax_compilation_cache_dir', None)
-        _cc.reset_cache()
+        _reset_cache()
         yield
     finally:
         jax.config.update('jax_compilation_cache_dir', old)
-        _cc.reset_cache()  # re-initialize with the restored dir on next use
+        _reset_cache()  # re-initialize with the restored dir on next use

@@ -104,6 +104,8 @@ _SLOW_TESTS = {
                     'test_bfm_forward_run_layer_and_repa',
                     'test_split_decay_param_labels'],
     'test_eval_hook.py': ['test_inline_eval_hook_preview'],
+    'test_prepare_latents.py': ['test_prepared_shards_drive_one_train_step',
+                                'test_feature_matches_unpatchify_and_flip'],
     'test_attention_viz.py': ['test_capture_and_rollout'],
 }
 def pytest_collection_modifyitems(config, items):

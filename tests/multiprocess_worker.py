@@ -12,7 +12,7 @@ virtual mesh cannot see:
      (jax.make_array_from_process_local_data + train/train_step.py)
   4. process_allgather of per-process sample batches (the FID gather)
   5. sync_global_devices barrier
-  6. Trainer._host_state gather + orbax save on process 0 + restore on all
+  6. sharded orbax save of global jax.Arrays + abstract-template restore
 
 Writes result_{pid}.json for the test to assert on. Not a pytest module
 (no test_ prefix).
@@ -129,24 +129,30 @@ def main():
     # 5. barrier --------------------------------------------------------------
     sync_global_devices('mp_test_barrier')
 
-    # 6. host-gather + orbax save on process 0, restore on all ---------------
+    # 6. sharded orbax save of global jax.Arrays + abstract restore ----------
+    # The trainers now save the sharded global state DIRECTLY (each host
+    # writes its shards; no full-state allgather) and restore through a
+    # sharding-carrying abstract template — this is the path that must be
+    # proven on >1 process.
     from fitv2_tpu.ckpt.checkpoint import CheckpointManager
     from fitv2_tpu.train.trainer import Trainer
-    host_state = Trainer._host_state(new_state)
     ckpt_dir = os.path.join(outdir, 'ckpts')
     mgr = CheckpointManager(ckpt_dir, total_limit=2)
     # every process calls save — orbax's save is a collective (a rank0-only
     # call dies on a sync_global_devices name mismatch); orbax elects the
     # primary writer itself
-    mgr.save(1, host_state)
+    mgr.save(1, new_state)
     sync_global_devices('ckpt_saved')
-    restored, found = mgr.restore(host_state, step=1)
+    restored, found = mgr.restore(Trainer._abstract_state(new_state), step=1)
     ok = restored is not None and found == 1
     if ok:
-        flat_a = jax.tree_util.tree_leaves(host_state)
+        flat_a = jax.tree_util.tree_leaves(new_state)
         flat_b = jax.tree_util.tree_leaves(restored)
-        ok = all(np.array_equal(np.asarray(a), np.asarray(b))
-                 for a, b in zip(flat_a, flat_b))
+        ok = all(
+            a.sharding.is_equivalent_to(b.sharding, a.ndim)
+            and np.array_equal(np.asarray(a.addressable_data(0)),
+                               np.asarray(b.addressable_data(0)))
+            for a, b in zip(flat_a, flat_b))
     results['ckpt_roundtrip_ok'] = bool(ok)
 
     with open(os.path.join(outdir, f'result_{pid}.json'), 'w') as f:

@@ -133,6 +133,30 @@ def test_generate_fid_samples_resume(tmp_path):
     np.testing.assert_array_equal(again, ref)
 
 
+def test_generate_fid_samples_resume_manifest_mismatch(tmp_path):
+    """A rerun with a different seed/count/config against the same
+    resume_dir must be REFUSED (not silently serve stale shards)."""
+    def fake_fn(key, labels):
+        return jax.random.normal(key, (len(labels), 4, 8, 8))
+    fake_fn.config_fingerprint = 'abc123'
+
+    rdir = str(tmp_path / 'shards')
+    generate_fid_samples(fake_fn, num_fid_samples=4, per_device_batch=2,
+                         num_classes=10, seed=3, resume_dir=rdir)
+    # same config resumes fine
+    generate_fid_samples(fake_fn, num_fid_samples=4, per_device_batch=2,
+                         num_classes=10, seed=3, resume_dir=rdir)
+    # changed seed: refused
+    with pytest.raises(ValueError, match='manifest mismatch'):
+        generate_fid_samples(fake_fn, num_fid_samples=4, per_device_batch=2,
+                             num_classes=10, seed=4, resume_dir=rdir)
+    # changed sampler config (fingerprint): refused
+    fake_fn.config_fingerprint = 'deadbeef'
+    with pytest.raises(ValueError, match='manifest mismatch'):
+        generate_fid_samples(fake_fn, num_fid_samples=4, per_device_batch=2,
+                             num_classes=10, seed=3, resume_dir=rdir)
+
+
 def test_sampler_determinism():
     model = _model()
     cfg = SamplingConfig(image_height=128, image_width=128,
