@@ -46,6 +46,7 @@ from fitv2_tpu.models.modules import (
     AdaLNModulation, FiTBlock, FinalLayer, LabelEmbedder, PatchEmbedder,
     TimestepEmbedder,
 )
+from fitv2_tpu.parallel.mesh import constrain_sequence
 
 Array = jax.Array
 Dtype = Any
@@ -82,12 +83,14 @@ class ProjectionHead(nn.Module):
     out_dim: int = 1024
     hidden: int = 2048
     dtype: Dtype = jnp.float32
+    sequence_mesh: Any = None  # batch-shard pin (parallel/mesh docstring)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Dense(self.hidden, dtype=self.dtype, name='fc1')(x)
+        pin = lambda h: constrain_sequence(h, self.sequence_mesh)
+        x = pin(nn.Dense(self.hidden, dtype=self.dtype, name='fc1')(x))
         x = nn.silu(x)
-        x = nn.Dense(self.hidden, dtype=self.dtype, name='fc2')(x)
+        x = pin(nn.Dense(self.hidden, dtype=self.dtype, name='fc2')(x))
         x = nn.silu(x)
         return nn.Dense(self.out_dim, dtype=self.dtype, name='fc3')(x)
 
@@ -141,6 +144,12 @@ class FiTLwD(nn.Module):
     rope_layout: str = 'split'  # TPU-fast basis (see fitv2_tpu/models/rope.py)
     # 'bf16' or 'int8' W8A8 serving mode for block GEMMs (ops/quant.py)
     gemm_precision: str = 'bf16'
+    # static Mesh: pins block-boundary activations batch(+token)-sharded
+    # (parallel/mesh.constrain_sequence). Same mechanism as the flagship FiT:
+    # without the pin, an FSDP mesh compiles TP-style (full-batch activation
+    # all-gathers instead of ZeRO-3 per-layer weight gathers) — the exact
+    # regression tests/test_comm_patterns.py caught on FiT in round 4.
+    sequence_mesh: Any = None
 
     @property
     def out_channels(self) -> int:
@@ -197,13 +206,14 @@ class FiTLwD(nn.Module):
             norm_layer=self.norm_type, adaln_bias=self.adaln_bias,
             adaln_type=self.adaln_type, dtype=self.dtype)
             for _ in range(n_emb)]
-        self.segments = [BlockStack(self.layers_per_flow, bk)
+        self.segments = [BlockStack(self.layers_per_flow, bk,
+                                    self.sequence_mesh)
                          for _ in range(K)]
         if self.number_of_shared_blocks > 0:
             # trunk blocks shared by every segment (reference
             # fit_model_lwd_shared.py:21-830 / lwd_ms start_shared_blocks)
             self.start_shared_blocks = BlockStack(
-                self.number_of_shared_blocks, bk)
+                self.number_of_shared_blocks, bk, self.sequence_mesh)
         if self.adaln_type == 'lora':
             self.global_adaLN_modulation = AdaLNModulation(
                 self.hidden_size, 6, adaln_type='normal',
@@ -211,10 +221,12 @@ class FiTLwD(nn.Module):
         if self.rep_layers_per_flow > 0:
             self.representation_x_embedder = PatchEmbedder(
                 self.hidden_size, dtype=self.dtype)
-            self.rep_segments = [BlockStack(self.rep_layers_per_flow, bk)
+            self.rep_segments = [BlockStack(self.rep_layers_per_flow, bk,
+                                            self.sequence_mesh)
                                  for _ in range(K)]
             self.linear_projection = ProjectionHead(
-                self.repa_dim, dtype=self.dtype)
+                self.repa_dim, dtype=self.dtype,
+                sequence_mesh=self.sequence_mesh)
         if self.fourier_basis:
             # t_next-conditioned [cos||sin] basis; final-layer outputs become
             # basis coefficients (reference fit_model_lwd_ms.py:161-162,
@@ -261,6 +273,7 @@ class FiTLwD(nn.Module):
                       global_adaln, t_next: Optional[Array] = None) -> Array:
         """embed -> [shared trunk] -> segment blocks -> final layer."""
         h = self._emb(self.x_embedders, i)(x_tokens.astype(self.dtype))
+        h = constrain_sequence(h, self.sequence_mesh)  # no-op when None
         if self.number_of_shared_blocks > 0:
             h = self.start_shared_blocks(h, c, mask, f_cos, f_sin,
                                          global_adaln)
@@ -272,13 +285,16 @@ class FiTLwD(nn.Module):
             cos_b, sin_b = jnp.split(basis[:, None, :], 2, axis=-1)
             coeff_cos, coeff_sin = jnp.split(out, 2, axis=-1)
             out = coeff_cos * cos_b + coeff_sin * sin_b
-        return out * mask.astype(out.dtype)[..., None]
+        out = out * mask.astype(out.dtype)[..., None]
+        return constrain_sequence(out, self.sequence_mesh)
 
     def _rep_forward(self, i: int, x_tokens: Array, c, mask, f_cos, f_sin,
                      global_adaln) -> Array:
         r = self.representation_x_embedder(x_tokens.astype(self.dtype))
+        r = constrain_sequence(r, self.sequence_mesh)
         r = self.rep_segments[i](r, c, mask, f_cos, f_sin, global_adaln)
-        return self.linear_projection(r)
+        return constrain_sequence(self.linear_projection(r),
+                                  self.sequence_mesh)
 
     def get_segment_index(self, t: float) -> int:
         """t in [0,1] -> segment id (fit_model_lwd_bk.py:254-266)."""

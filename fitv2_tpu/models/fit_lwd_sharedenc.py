@@ -30,6 +30,7 @@ from fitv2_tpu.models.fit_lwd import BlockStack, FiTLwD, ProjectionHead
 from fitv2_tpu.models.grid_utils import make_grid_mask_size
 from fitv2_tpu.models.modules import AdaLNModulation, PatchEmbedder
 from fitv2_tpu.models.modules_lwd import SRN, TimestepDependentCoefficient
+from fitv2_tpu.parallel.mesh import constrain_sequence
 
 Array = jax.Array
 
@@ -54,8 +55,10 @@ class FiTLwDSharedEncSepDec(FiTLwD):
         assert R >= 1
         self.representation_x_embedder2 = PatchEmbedder(
             self.hidden_size, dtype=self.dtype)
-        self.shared_rep_blocks = BlockStack(R, self._block_kwargs())
-        self.rep_projection = ProjectionHead(self.repa_dim, dtype=self.dtype)
+        self.shared_rep_blocks = BlockStack(R, self._block_kwargs(),
+                                            self.sequence_mesh)
+        self.rep_projection = ProjectionHead(self.repa_dim, dtype=self.dtype,
+                                             sequence_mesh=self.sequence_mesh)
         if self.adaln_type == 'lora':
             self.global_adaLN_modulation2 = AdaLNModulation(
                 self.hidden_size, 6, adaln_type='normal',
@@ -63,7 +66,8 @@ class FiTLwDSharedEncSepDec(FiTLwD):
         # mid-block representation forecaster (finetune stage; reference
         # fit_model_lwd_bk.py:800-1084 mid_block + coefficient_layers)
         self.mid_blocks = BlockStack(self.number_of_mid_blocks,
-                                     self._block_kwargs())
+                                     self._block_kwargs(),
+                                     self.sequence_mesh)
         self.mid_coefficient = TimestepDependentCoefficient(
             self.hidden_size, dtype=self.dtype)
         self.mid_gate = SRN(self.hidden_size, self.patch_size,
@@ -75,6 +79,7 @@ class FiTLwDSharedEncSepDec(FiTLwD):
     def _encode_representation(self, x_tokens: Array, c: Array, mask, f_cos,
                                f_sin, global_adaln) -> Array:
         r = self.representation_x_embedder2(x_tokens.astype(self.dtype))
+        r = constrain_sequence(r, self.sequence_mesh)  # no-op when None
         return self.shared_rep_blocks(r, c, mask, f_cos, f_sin, global_adaln)
 
     def _token_cond(self, t_emb: Array, rep: Array):

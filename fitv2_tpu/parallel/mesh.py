@@ -165,8 +165,11 @@ def _spec_for_param(path: str, shape: Tuple[int, ...], fsdp: int,
 
     if fsdp > 1 and ndim >= 1:
         # skip the scan depth axis (leading) for stacked block params:
-        # sharding depth would serialize the scan's gather
-        start = 1 if (path.startswith('blocks/') and ndim >= 2) else 0
+        # sharding depth would serialize the scan's gather. FiT's stack is
+        # 'blocks/block/...'; the LwD family's per-segment/shared stacks are
+        # '<name>/stack/...' (models/fit_lwd.BlockStack, name='stack').
+        stacked = (path.startswith('blocks/') or '/stack/' in path)
+        start = 1 if (stacked and ndim >= 2) else 0
         cands = sorted(range(start, ndim), key=lambda a: -shape[a])
         for ax in cands:
             if divisible(ax, fsdp):

@@ -74,10 +74,21 @@ class LwDTrainer:
                         (train_fitv2_lwd_finetune.py; mode replace/
                         residual/blend)
         """
-        self.model = model
         self.cfg = config
         self.mesh = build_mesh(MeshConfig(
             data=-1, fsdp=config.mesh_fsdp, tensor=config.mesh_tensor))
+        if (any(self.mesh.shape.get(a, 1) > 1
+                for a in ('data', 'fsdp', 'sequence'))
+                and hasattr(model, 'sequence_mesh')
+                and model.sequence_mesh is None):
+            # pin block-boundary activations batch-sharded
+            # (parallel/mesh.constrain_sequence): under FSDP this forces the
+            # ZeRO-3 per-layer weight all-gather pattern instead of the
+            # TP-style activation re-layout SPMD propagation otherwise picks
+            # — the exact failure mode round 4 caught on FiT, now pinned for
+            # the LwD family too (tests/test_comm_patterns.py).
+            model = model.clone(sequence_mesh=self.mesh)
+        self.model = model
         self.tx = make_optimizer(OptimizerConfig(
             learning_rate=config.learning_rate,
             max_grad_norm=config.max_grad_norm,
@@ -107,9 +118,12 @@ class LwDTrainer:
                                           config.repa_weight)
         else:
             raise ValueError(f'unknown LwD recipe: {recipe!r}')
-        # one compiled variant per (static) segment index
+        # one compiled variant per (static) segment index; the state is
+        # donated and threads call-to-call, so params/moments never hold a
+        # second HBM copy (same contract as Trainer's jitted step)
         self._jitted = {
-            k: jax.jit(lambda s, b, r, k=k: step_fn(s, b, r, k))
+            k: jax.jit(lambda s, b, r, k=k: step_fn(s, b, r, k),
+                       donate_argnums=(0,))
             for k in range(model.number_of_perflow)}
         self._segment_sampler = SegmentSampler(model.number_of_perflow,
                                                seed=config.seed)
@@ -123,7 +137,30 @@ class LwDTrainer:
              'label_dropout': jax.random.PRNGKey(self.cfg.seed + 1)},
             b['feature'], jnp.zeros((1,)), b['label'], b['grid'], b['mask'],
             b.get('size'))['params']
-        return create_train_state(params, self.tx)
+        state = create_train_state(params, self.tx)
+        return jax.device_put(state, self.state_shardings(state))
+
+    def state_shardings(self, state):
+        """Params (and params-shaped adam moments / EMA) sharded by the
+        fsdp/tensor rules (parallel/mesh.fit_param_shardings — the rule
+        layer generalizes to the LwD per-segment stacks: '<seg>/stack/...'
+        leaves skip the scan depth axis exactly like FiT's 'blocks/...');
+        scalars replicated. Same layout contract as Trainer.state_shardings.
+        """
+        from fitv2_tpu.parallel.mesh import fit_param_shardings, replicated
+        from fitv2_tpu.train.train_step import TrainState
+        param_sh = fit_param_shardings(self.mesh, state.params)
+
+        def opt_sharding(x):
+            if hasattr(x, 'shape') and getattr(x, 'ndim', 0) > 0:
+                return fit_param_shardings(self.mesh, {'x': x})['x']
+            return replicated(self.mesh)
+
+        return TrainState(
+            step=replicated(self.mesh), params=param_sh, ema_params=param_sh,
+            opt_state=jax.tree_util.tree_map(
+                opt_sharding, state.opt_state,
+                is_leaf=lambda x: hasattr(x, 'shape')))
 
     def train(self, batch_iterator, state=None, max_steps: Optional[int] = None,
               resume: bool = True,
@@ -132,6 +169,10 @@ class LwDTrainer:
         max_steps = max_steps or cfg.max_steps
         rng = jax.random.PRNGKey(cfg.seed)
         bsh = batch_sharding(self.mesh)
+        if state is not None:
+            # caller-provided states arrive unsharded; lay them out before
+            # the restore template / jitted steps see them
+            state = jax.device_put(state, self.state_shardings(state))
 
         step = 0
         if resume:

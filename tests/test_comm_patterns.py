@@ -217,3 +217,155 @@ def test_pp_ppermute_ring(setup):
     # the ring must live inside the microbatch schedule, not be a one-off:
     # at least one permute per schedule direction (fwd + bwd)
     assert collective_counts(txt)['collective-permute'] >= 2
+
+
+# ---------------------------------------------------------------------------
+# LwD / BFM family under FSDP (VERDICT r4 #3): the segment-flow train step
+# has a different sharding surface than FiT (per-segment '<seg>/stack/...'
+# param stacks, per-token conditioning in the sharedenc variant) — exactly
+# the kind of surface the round-4 FSDP-compiled-as-TP finding proves can go
+# silently wrong. Reference scale-out being matched: Accelerate DDP/FSDP in
+# train_fitv2_lwd.py; segment step fit_model_lwd.py:359-416.
+# ---------------------------------------------------------------------------
+
+def _lwd_model(cls=None, **over):
+    from fitv2_tpu.models.fit_lwd import FiTLwD
+    cls = cls or FiTLwD
+    kw = dict(context_size=N_CTX, patch_size=2, in_channels=4,
+              hidden_size=D_MODEL, depth=4, num_heads=4,
+              number_of_perflow=2, class_dropout_prob=0.1, num_classes=1000,
+              use_swiglu=True, q_norm='layernorm', k_norm='layernorm',
+              adaln_type='lora', adaln_lora_dim=64, custom_freqs='normal',
+              max_cached_len=64, n_patch_h=N_H, n_patch_w=N_W,
+              repa_dim=64, dtype=jnp.float32)
+    kw.update(over)
+    return cls(**kw)
+
+
+def _lwd_batch(repa_dim=64):
+    b = _batch()
+    b['repa_target'] = jax.random.normal(jax.random.PRNGKey(5),
+                                         (B, N_CTX, repa_dim))
+    return b
+
+
+def _lwd_stack_weight_dims(params):
+    """Non-depth dims of every scan-stacked kernel ('<seg>/stack/...')."""
+    dims = []
+
+    def visit(path, leaf):
+        p = '/'.join(str(getattr(k, 'key', k)) for k in path)
+        if '/stack/' in p and p.endswith('kernel'):
+            dims.append(tuple(leaf.shape[1:]))
+    jax.tree_util.tree_map_with_path(visit, params)
+    assert dims
+    return dims
+
+
+def _compile_lwd_step(mesh_kw, cls=None, constrain=True,
+                      replicate_params=False, segment_idx=0, **model_over):
+    from fitv2_tpu.parallel.mesh import fit_param_shardings
+    from fitv2_tpu.train.lwd_train_step import make_lwd_train_step
+    mesh = build_mesh(MeshConfig(**mesh_kw))
+    model = _lwd_model(cls, **model_over)
+    if constrain:
+        model = model.clone(sequence_mesh=mesh)
+    batch = _lwd_batch()
+    params = model.init(
+        {'params': jax.random.PRNGKey(1),
+         'label_dropout': jax.random.PRNGKey(2)},
+        batch['feature'][:1], jnp.zeros((1,)), batch['label'][:1],
+        batch['grid'][:1], batch['mask'][:1], batch['size'][:1])['params']
+    tx = make_optimizer(OptimizerConfig(learning_rate=1e-4,
+                                        max_grad_norm=1.0))
+    state = create_train_state(params, tx)
+    step = make_lwd_train_step(model, tx)
+    if replicate_params:
+        param_sh = jax.tree_util.tree_map(lambda _: replicated(mesh), params)
+    else:
+        param_sh = fit_param_shardings(mesh, params)
+
+    def opt_sh(x):
+        if not (hasattr(x, 'shape') and getattr(x, 'ndim', 0) > 0):
+            return replicated(mesh)
+        return (replicated(mesh) if replicate_params
+                else fit_param_shardings(mesh, {'x': x})['x'])
+
+    state_sh = TrainState(
+        step=replicated(mesh), params=param_sh, ema_params=param_sh,
+        opt_state=jax.tree_util.tree_map(
+            opt_sh, state.opt_state, is_leaf=lambda x: hasattr(x, 'shape')))
+    bsh = batch_sharding(mesh)
+    txt = jax.jit(
+        lambda s, b, r: step(s, b, r, segment_idx),
+        in_shardings=(state_sh, {k: bsh for k in batch}, replicated(mesh)),
+        out_shardings=(state_sh, replicated(mesh)),
+    ).lower(state, batch, jax.random.PRNGKey(3)).compile().as_text()
+    return txt, params
+
+
+def test_lwd_fsdp_weight_gather_pattern():
+    """FSDP on the LwD segment step: per-segment stacked weights are
+    gathered per layer, activations stay batch-sharded, grads reduced —
+    for BOTH segments' compiled variants (each has its own param stack) and
+    with the REPA representation stack in the graph."""
+    for seg in (0, 1):
+        txt, params = _compile_lwd_step(
+            dict(data=1, fsdp=8), segment_idx=seg,
+            number_of_representation_blocks=2)
+        check_fsdp(txt, _lwd_stack_weight_dims(params), batch=B, n_ctx=N_CTX)
+
+
+def test_lwd_fsdp_broken_rules_detected():
+    # replicated params: nothing to gather — the ZeRO-3 claim is void
+    txt, params = _compile_lwd_step(dict(data=1, fsdp=8),
+                                    replicate_params=True)
+    with pytest.raises(AssertionError):
+        check_fsdp(txt, _lwd_stack_weight_dims(params), batch=B, n_ctx=N_CTX)
+    # no activation pin: SPMD re-lays out activations TP-style
+    txt, params = _compile_lwd_step(dict(data=1, fsdp=8), constrain=False)
+    with pytest.raises(AssertionError):
+        check_fsdp(txt, _lwd_stack_weight_dims(params), batch=B, n_ctx=N_CTX)
+
+
+def test_lwd_sharedenc_fsdp_pattern():
+    """The sharedenc/BFM variant: shared encoder stack + per-token
+    conditioning (global_adaLN_modulation2 on (B,N,D) c_repre) — its
+    activation surface is wider than FiT's, so the pin matters more."""
+    from fitv2_tpu.models.fit_lwd_sharedenc import FiTLwDSharedEncSepDec
+    txt, params = _compile_lwd_step(
+        dict(data=1, fsdp=8), cls=FiTLwDSharedEncSepDec,
+        number_of_representation_blocks=2)
+    check_fsdp(txt, _lwd_stack_weight_dims(params), batch=B, n_ctx=N_CTX,
+               max_act_gathers=4)
+
+
+def test_lwd_fsdp_loss_parity_vs_single_device():
+    """The fsdp8-sharded LwD step computes the same loss and grad_norm as a
+    single-device run on the same seed/batch (LwDTrainer wiring end-to-end:
+    sharded state + pinned activations change the schedule, not the math)."""
+    from fitv2_tpu.models.fit_lwd import FiTLwD
+    from fitv2_tpu.train.lwd_trainer import LwDTrainer, LwDTrainerConfig
+
+    model = _lwd_model(number_of_representation_blocks=2)
+    batch = {k: np.asarray(v) for k, v in _lwd_batch().items()}
+
+    def run(mesh_fsdp, tmp):
+        tr = LwDTrainer(model, LwDTrainerConfig(
+            max_steps=2, learning_rate=1e-3, segments_per_step=2,
+            log_every=1, checkpointing_steps=10_000, seed=0,
+            mesh_fsdp=mesh_fsdp, output_dir=tmp))
+        logs = []
+        tr.train(iter([batch, batch]), resume=False,
+                 metric_hook=lambda s, m: logs.append(m))
+        return logs
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        ref = run(1, d1)
+        sh = run(8, d2)
+    assert len(ref) == len(sh) == 2
+    for a, b in zip(ref, sh):
+        np.testing.assert_allclose(a['loss'], b['loss'], rtol=5e-4)
+        np.testing.assert_allclose(a['grad_norm'], b['grad_norm'], rtol=5e-4)
