@@ -116,13 +116,19 @@ class PrefetchLoader:
     def __init__(self, dataset: IN1kLatentDataset, index_stream: np.ndarray,
                  batch_size: int, num_workers: int = 8,
                  prefetch_batches: int = 4, seed: int = 0,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None, batch_offset: int = 0):
         self.dataset = dataset
         self.index_stream = index_stream
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch_batches
         self.seed = seed
+        # global index of the first batch this loader yields: per-sample rng
+        # streams are keyed (seed, GLOBAL batch index, j), so a resumed run
+        # replays the exact source-choice/flip draws of the uninterrupted
+        # stream — resume is bit-identical, not just index-identical
+        # (reference resume replays sampler state, train_fitv2.py:394-411)
+        self.batch_offset = batch_offset
         if use_native is None:
             from fitv2_tpu.data import native_loader
             use_native = native_loader.available()
@@ -133,7 +139,8 @@ class PrefetchLoader:
         ds = self.dataset
         paths, flips = [], []
         for j, idx in enumerate(idxs):
-            rng = np.random.Generator(np.random.PCG64((self.seed, bi, j)))
+            rng = np.random.Generator(np.random.PCG64(
+                (self.seed, self.batch_offset + bi, j)))
             choices = ds.files[idx]
             if ds.random == 'random':
                 paths.append(choices[int(rng.integers(len(choices)))])
@@ -159,7 +166,8 @@ class PrefetchLoader:
                         q.put(self._native_batch(bi, idxs))
                         continue
                     rngs = [np.random.Generator(np.random.PCG64(
-                        (self.seed, bi, j))) for j in range(len(idxs))]
+                        (self.seed, self.batch_offset + bi, j)))
+                        for j in range(len(idxs))]
                     samples = list(pool.map(
                         lambda a: self.dataset.get(*a), zip(idxs, rngs)))
                     q.put(_collate(samples))
@@ -207,7 +215,8 @@ class INLatentLoader:
         per_host_batch = global_batch_size // process_count
         assert per_host_batch == self.batch_size or True  # batch_size is per-host
         return PrefetchLoader(self.train_dataset, local, per_host_batch,
-                              self.num_workers, seed=seed + resume_step)
+                              self.num_workers, seed=seed,
+                              batch_offset=resume_step)
 
 
 def make_synthetic_latent_shards(root_dir: str, n: int = 16,

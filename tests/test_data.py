@@ -95,18 +95,22 @@ def test_latent_dataset_and_loader(tmp_path):
 
 
 def test_loader_resume_reproduces_order(tmp_path):
+    """Resume is BIT-identical, not just index-identical: per-sample rng
+    streams are keyed by the GLOBAL batch index (PrefetchLoader
+    batch_offset), so source-choice and flip draws replay exactly."""
     root = str(tmp_path)
     make_synthetic_latent_shards(root, n=8, target_len=16, n_classes=4)
     loader = INLatentLoader(root, target_len=16, batch_size=2)
 
-    def labels_of(resume):
+    def batches_of(resume):
         it = loader.train_dataloader(global_batch_size=2, max_steps=6,
                                      resume_step=resume, seed=3,
                                      process_index=0, process_count=1)
-        # flip choice depends on the loader seed; compare sample identity
-        # via the deterministic index stream -> use labels as proxy
-        return [tuple(b['label'].tolist()) for b in it]
+        return list(it)
 
-    full = labels_of(0)
-    resumed = labels_of(2)
-    assert full[2:] == resumed
+    full = batches_of(0)
+    resumed = batches_of(2)
+    assert len(full) == 6 and len(resumed) == 4
+    for a, b in zip(full[2:], resumed):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
