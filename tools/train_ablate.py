@@ -53,6 +53,14 @@ import numpy as np
 BATCH = int(_os.environ.get('TRAIN_ABLATE_BATCH', '16'))
 REMAT = _os.environ.get('TRAIN_ABLATE_REMAT', 'dots')
 STATE_DTYPE = _os.environ.get('TRAIN_ABLATE_DTYPE', 'fp32')
+# 256 = XL pretrain; 1024 = the HR-XL 512px fine-tune geometry (online
+# decoupled NTK RoPE, reference config_fitv2_hr_xl.yaml:40-47) — the
+# round-5 VERDICT #5 decomposition target
+CTX = int(_os.environ.get('TRAIN_ABLATE_CTX', '256'))
+# attention implementation for BOTH forward and backward ('auto' = the
+# XLA chain; 'pallas' = the flash kernel incl. its custom_vjp recompute
+# backward — the untried N=1024 training-backward experiment)
+ATTN = _os.environ.get('TRAIN_ABLATE_ATTN', 'auto')
 PEAK_TFLOPS = 197.0  # v5e bf16
 
 
@@ -62,12 +70,16 @@ def build():
     from fitv2_tpu.train.train_step import (
         OptimizerConfig, create_train_state, make_optimizer)
 
+    hr = CTX > 256
     model = FiT(
-        context_size=256, patch_size=2, in_channels=4, hidden_size=1152,
+        context_size=CTX, patch_size=2, in_channels=4, hidden_size=1152,
         depth=36, num_heads=16, class_dropout_prob=0.1, num_classes=1000,
         learn_sigma=False, use_sit=True, use_swiglu=True,
         q_norm='layernorm', k_norm='layernorm', adaln_type='lora',
-        adaln_lora_dim=288, custom_freqs='normal', max_cached_len=64,
+        adaln_lora_dim=288,
+        custom_freqs='ntk-aware' if hr else 'normal',
+        online_rope=hr, decouple=hr, ori_max_pe_len=16 if hr else None,
+        max_cached_len=64, attn_impl=ATTN,
         use_checkpoint=(REMAT != 'none'),
         remat_policy=REMAT if REMAT != 'none' else 'full',
         dtype=jnp.bfloat16)
@@ -75,15 +87,15 @@ def build():
     tx = make_optimizer(OptimizerConfig(learning_rate=1e-4,
                                         mu_dtype=jnp.bfloat16))
 
-    n_h = n_w = 16
+    n_h = n_w = int(np.sqrt(CTX))
     gw, gh = np.meshgrid(np.arange(n_w), np.arange(n_h))
     grid = np.stack([gw.reshape(-1), gh.reshape(-1)], 0)
     batch = {
         'feature': jnp.asarray(np.random.default_rng(0).standard_normal(
-            (BATCH, 256, 16)), jnp.float32),
-        'grid': jnp.asarray(np.broadcast_to(grid, (BATCH, 2, 256)),
+            (BATCH, CTX, 16)), jnp.float32),
+        'grid': jnp.asarray(np.broadcast_to(grid, (BATCH, 2, CTX)),
                             jnp.int32),
-        'mask': jnp.ones((BATCH, 256), jnp.float32),
+        'mask': jnp.ones((BATCH, CTX), jnp.float32),
         'label': (jnp.arange(BATCH) % 1000).astype(jnp.int32),
         'size': jnp.asarray(np.broadcast_to(np.array([[n_h, n_w]]),
                                             (BATCH, 1, 2)), jnp.int32),
@@ -183,8 +195,8 @@ def scan_time(step_fn, state0, batch, rng, l1=4, l2=16):
 def main():
     variants = sys.argv[1:] or ['full', 'gradonly', 'fwdonly', 'noattn',
                                 'nopre']
-    print(f'backend: {jax.devices()}  batch={BATCH} remat={REMAT} '
-          f'state={STATE_DTYPE}',
+    print(f'backend: {jax.devices()}  batch={BATCH} ctx={CTX} '
+          f'remat={REMAT} state={STATE_DTYPE} attn={ATTN}',
           flush=True)
     import fitv2_tpu.models.modules as modules
     import fitv2_tpu.ops.fused_qk_rope as fqr
@@ -224,7 +236,8 @@ def main():
     modules.masked_attention = orig_attn
     fqr.qk_norm_rope = orig_qk
 
-    fwd_flops = 304.4e9 * BATCH  # flop_count_forward at XL-256, real FLOPs
+    from fitv2_tpu.utils.misc import flop_count_forward
+    fwd_flops = flop_count_forward(1152, 36, CTX) * BATCH  # real FLOPs
     if 'full' in results:
         t = results['full']
         mfu = 3 * fwd_flops / t / (PEAK_TFLOPS * 1e12)
