@@ -140,6 +140,30 @@ class LwDTrainer:
         state = create_train_state(params, self.tx)
         return jax.device_put(state, self.state_shardings(state))
 
+    def abstract_init_state(self, example_batch: Dict[str, np.ndarray]):
+        """Shape-only sharded TrainState template (jax.eval_shape — zero
+        device buffers) for restoring WITHOUT materializing a fresh init
+        state next to the restored copy (double-residency OOMs at the
+        single-chip memory ceiling; same fix as Trainer.abstract_init_state,
+        caught by the round-5 hardware e2e resume run)."""
+        b = {k: jax.ShapeDtypeStruct((1,) + tuple(np.asarray(v).shape[1:]),
+                                     np.asarray(v).dtype)
+             for k, v in example_batch.items() if k != 'repa_target'}
+
+        def init_fn(feature, label, grid, mask, size):
+            params = self.model.init(
+                {'params': jax.random.PRNGKey(self.cfg.seed),
+                 'label_dropout': jax.random.PRNGKey(self.cfg.seed + 1)},
+                feature, jnp.zeros((1,)), label, grid, mask, size)['params']
+            return create_train_state(params, self.tx)
+
+        abstract = jax.eval_shape(init_fn, b['feature'], b['label'],
+                                  b['grid'], b['mask'], b.get('size'))
+        shardings = self.state_shardings(abstract)
+        return jax.tree_util.tree_map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+            abstract, shardings)
+
     def state_shardings(self, state):
         """Params (and params-shaped adam moments / EMA) sharded by the
         fsdp/tensor rules (parallel/mesh.fit_param_shardings — the rule
@@ -177,9 +201,20 @@ class LwDTrainer:
         step = 0
         if resume:
             found = latest_checkpoint_step(self.ckpt.ckpt_dir)
-            if found and state is not None:
-                restored, step = self.ckpt.restore(
-                    self._abstract_state(state), step=found)
+            if found:
+                if state is not None:
+                    template = self._abstract_state(state)
+                else:
+                    # no caller state: build the template abstractly from
+                    # the first batch's shapes (pre-round-5 this path
+                    # silently SKIPPED the restore and re-initialized)
+                    batch_iterator = iter(batch_iterator)
+                    first = next(batch_iterator)
+                    import itertools
+                    batch_iterator = itertools.chain([first],
+                                                     batch_iterator)
+                    template = self.abstract_init_state(first)
+                restored, step = self.ckpt.restore(template, step=found)
                 if restored is not None:
                     state = restored
 

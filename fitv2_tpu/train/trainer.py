@@ -239,6 +239,36 @@ class Trainer:
                 opt_sharding, state.opt_state,
                 is_leaf=lambda x: hasattr(x, 'shape')))
 
+    def abstract_init_state(self, example_batch: Dict[str, np.ndarray]
+                            ) -> TrainState:
+        """Shape-only TrainState (jax.eval_shape — zero device buffers)
+        with the mesh shardings attached.
+
+        The resume path restores straight into this template. Restoring
+        into a MATERIALIZED fresh init state (the pre-round-5 flow) holds
+        init + restored copies resident at once — at the XL fp32 state
+        (9.45 GB) that double-residency OOMs the single-chip HBM, and on
+        an FSDP pod it doubles every shard. Caught by the round-5
+        hardware e2e resume run (tools/train_real_e2e.py)."""
+        b = {k: jax.ShapeDtypeStruct((1,) + tuple(v.shape[1:]),
+                                     np.asarray(v).dtype)
+             for k, v in example_batch.items()}
+
+        def init_fn(feature, label, grid, mask, size):
+            params = self.model.init(
+                {'params': jax.random.PRNGKey(self.cfg.seed),
+                 'label_dropout': jax.random.PRNGKey(self.cfg.seed + 1)},
+                feature, jnp.zeros((1,)), label, grid, mask, size,
+                train=True)['params']
+            return create_train_state(params, self.tx)
+
+        abstract = jax.eval_shape(init_fn, b['feature'], b['label'],
+                                  b['grid'], b['mask'], b.get('size'))
+        shardings = self.state_shardings(abstract)
+        return jax.tree_util.tree_map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+            abstract, shardings)
+
     @staticmethod
     def _abstract_state(state):
         """Sharding-carrying abstract template for checkpoint restore.
@@ -273,14 +303,18 @@ class Trainer:
         it = iter(self.loader.train_dataloader(
             cfg.global_batch_size, max_steps, resume_step, cfg.seed))
         first = next(it)
-        if state is None:
-            state = self.init_state(first)
         if resume_step:
+            # restore into an ABSTRACT template: the fresh init state is
+            # never materialized next to the restored one (see
+            # abstract_init_state — double-residency OOMs at the
+            # single-chip memory ceiling)
             restored, found = self.ckpt.restore(
-                self._abstract_state(state), step=resume_step)
+                self.abstract_init_state(first), step=resume_step)
             if restored is not None:
                 state = restored  # arrives in the template's shardings
                 logger.info('resumed from step %d', found)
+        if state is None:
+            state = self.init_state(first)
 
         bsh = batch_sharding(self.mesh)
         jitted = jax.jit(self._train_step, donate_argnums=(0,))

@@ -216,12 +216,17 @@ def main():
     for variant in variants:
         modules.masked_attention = orig_attn
         fqr.qk_norm_rope = orig_qk
-        mode = variant if variant in ('gradonly', 'fwdonly') else 'full'
-        if variant in ('noattn', 'nopre'):
+        # 'full:pallas' etc. = same variant with the model's attn_impl
+        # overridden (runs the flash kernel's custom_vjp recompute backward
+        # in the training step -- the round-5 VERDICT #5 experiment)
+        base, _, impl = variant.partition(':')
+        m_v = model.clone(attn_impl=impl) if impl else model
+        mode = base if base in ('gradonly', 'fwdonly') else 'full'
+        if base in ('noattn', 'nopre'):
             modules.masked_attention = attn_identity
-        if variant == 'nopre':
+        if base == 'nopre':
             fqr.qk_norm_rope = qk_passthrough
-        step_fn = make_step(model, transport, tx, mode)
+        step_fn = make_step(m_v, transport, tx, mode)
         print(f'compiling {variant}...', flush=True)
         try:
             dt = scan_time(step_fn, make_state(), batch, rng)
