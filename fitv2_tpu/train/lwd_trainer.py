@@ -209,14 +209,18 @@ class LwDTrainer:
                     # the first batch's shapes (pre-round-5 this path
                     # silently SKIPPED the restore and re-initialized)
                     batch_iterator = iter(batch_iterator)
-                    first = next(batch_iterator)
-                    import itertools
-                    batch_iterator = itertools.chain([first],
-                                                     batch_iterator)
-                    template = self.abstract_init_state(first)
-                restored, step = self.ckpt.restore(template, step=found)
-                if restored is not None:
-                    state = restored
+                    first = next(batch_iterator, None)
+                    if first is not None:
+                        import itertools
+                        batch_iterator = itertools.chain([first],
+                                                         batch_iterator)
+                        template = self.abstract_init_state(first)
+                    else:
+                        template = None  # empty iterator: nothing to train
+                if template is not None:
+                    restored, step = self.ckpt.restore(template, step=found)
+                    if restored is not None:
+                        state = restored
 
         from fitv2_tpu.train.preemption import PreemptionGuard
         guard = PreemptionGuard(enabled=cfg.handle_preemption,
